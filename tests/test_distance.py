@@ -1,0 +1,73 @@
+"""Distance-kernel golden tests against the reference metric formulas
+(cosine src/lib.rs:1985-1991; normalized src/bigvec.rs:47-53; euclidean
+src/lib.rs:2431-2437)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from parallel_hnsw_tpu.ops.distance import (
+    Metric,
+    batched_distance,
+    distance_one,
+    pairwise_distance,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def _unit(n, d):
+    x = RNG.uniform(-1, 1, size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_cosine_pairwise_matches_reference_formula():
+    x = _unit(7, 16)
+    y = _unit(9, 16)
+    got = np.asarray(pairwise_distance(jnp.asarray(x), jnp.asarray(y), Metric.COSINE))
+    want = 1.0 - x @ y.T
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_normalized_cosine():
+    x = _unit(4, 8)
+    y = _unit(5, 8)
+    got = np.asarray(pairwise_distance(jnp.asarray(x), jnp.asarray(y), Metric.NORMALIZED_COSINE))
+    want = (1.0 - x @ y.T) / 2.0
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_euclidean():
+    x = RNG.uniform(-1, 1, size=(6, 12)).astype(np.float32)
+    y = RNG.uniform(-1, 1, size=(3, 12)).astype(np.float32)
+    got = np.asarray(pairwise_distance(jnp.asarray(x), jnp.asarray(y), Metric.EUCLIDEAN))
+    want = np.sqrt(((x[:, None, :] - y[None, :, :]) ** 2).sum(-1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_batched_matches_pairwise():
+    q = _unit(5, 16)
+    cands = _unit(5 * 7, 16).reshape(5, 7, 16)
+    for metric in Metric:
+        got = np.asarray(batched_distance(jnp.asarray(q), jnp.asarray(cands), metric))
+        want = np.stack(
+            [
+                np.asarray(pairwise_distance(jnp.asarray(q[i : i + 1]), jnp.asarray(cands[i]), metric))[0]
+                for i in range(5)
+            ]
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_distance_one():
+    a = _unit(4, 8)
+    b = _unit(4, 8)
+    got = np.asarray(distance_one(jnp.asarray(a), jnp.asarray(b), Metric.COSINE))
+    want = 1.0 - np.sum(a * b, axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_self_distance_is_zero():
+    a = _unit(3, 8)
+    for metric in (Metric.COSINE, Metric.NORMALIZED_COSINE, Metric.EUCLIDEAN, Metric.SQUARED_EUCLIDEAN):
+        got = np.asarray(distance_one(jnp.asarray(a), jnp.asarray(a), metric))
+        np.testing.assert_allclose(got, 0.0, atol=1e-5)
