@@ -1,0 +1,147 @@
+"""Graph data model: dense device arrays instead of pointer-chasing.
+
+Reference layout (/root/reference/src/lib.rs:85-159): a layer is a sorted
+``nodes: Vec<VectorId>`` plus a flat ``neighbors`` slab of
+``node_count x neighborhood_size`` NodeIds, ``!0``-padded per row.
+
+TPU-native layout: per layer
+
+* ``nodes  [N]    int32`` — sorted vector ids (ascending)
+* ``neighbors [N, M] int32`` — node-id rows, ``EMPTY_ID``-padded
+
+plus a *vector source* — the storage half of the reference's ``Comparator``
+trait (src/lib.rs:53-74).  A source is a pytree that can gather feature
+vectors for ids; the metric half lives in :mod:`parallel_hnsw_tpu.ops.distance`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from parallel_hnsw_tpu.constants import EMPTY_ID, ID_DTYPE
+
+
+class Layer(NamedTuple):
+    """One graph level. ``neighbors.shape == (len(nodes), M)``."""
+
+    nodes: jax.Array  # [N] int32, sorted vector ids
+    neighbors: jax.Array  # [N, M] int32 node ids, EMPTY_ID-padded
+
+    @property
+    def node_count(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def neighborhood_size(self) -> int:
+        return self.neighbors.shape[1]
+
+
+class DenseSource(NamedTuple):
+    """All vectors resident in HBM as one ``[V, D]`` array."""
+
+    vectors: jax.Array  # [V, D] float
+
+    @property
+    def dim(self) -> int:
+        return self.vectors.shape[1]
+
+    @property
+    def count(self) -> int:
+        return self.vectors.shape[0]
+
+
+class PqSource(NamedTuple):
+    """PQ-compressed vectors: per-id codes plus a per-subspace codebook.
+
+    ``get`` reconstructs full vectors by codebook gather — the TPU equivalent
+    of the reference's reconstructing quantized comparator (src/pq.rs:585-600).
+    """
+
+    codes: jax.Array  # [V, Q] int32 (centroid ids per subspace)
+    codebook: jax.Array  # [Q, K, Dsub] float
+
+    @property
+    def dim(self) -> int:
+        return self.codebook.shape[0] * self.codebook.shape[2]
+
+    @property
+    def count(self) -> int:
+        return self.codes.shape[0]
+
+
+Source = Union[DenseSource, PqSource]
+
+
+def source_get(source: Source, ids: jax.Array) -> jax.Array:
+    """Gather feature vectors for ``ids`` (any shape) -> ``[*ids.shape, D]``.
+
+    Ids must be pre-clipped/masked by the caller; EMPTY_ID gathers garbage
+    (callers mask distances of invalid slots to +inf instead).
+    """
+    if isinstance(source, DenseSource):
+        safe = jnp.clip(ids, 0, source.vectors.shape[0] - 1)
+        return jnp.take(source.vectors, safe, axis=0)
+    if isinstance(source, PqSource):
+        safe = jnp.clip(ids, 0, source.codes.shape[0] - 1)
+        codes = jnp.take(source.codes, safe, axis=0)  # [*, Q]
+        return reconstruct(source.codebook, codes)
+    raise TypeError(f"unknown source type {type(source)}")
+
+
+def reconstruct(codebook: jax.Array, codes: jax.Array) -> jax.Array:
+    """Decode PQ codes ``[*, Q]`` -> vectors ``[*, Q*Dsub]`` by centroid gather
+    (reference: Quantizer::reconstruct, src/pq.rs:73-81)."""
+    nsub, k, dsub = codebook.shape
+    safe = jnp.clip(codes, 0, k - 1)
+    flat = safe.reshape(-1, nsub)  # [B, Q]
+    q_idx = jnp.arange(nsub)[None, :]  # [1, Q]
+    sub = codebook[q_idx, flat]  # [B, Q, Dsub]
+    return sub.reshape(codes.shape[:-1] + (nsub * dsub,))
+
+
+def vec_to_node(nodes: jax.Array, vids: jax.Array) -> jax.Array:
+    """Map vector ids to node ids via binary search on the sorted ``nodes``.
+
+    Reference: ``Layer::get_node`` (src/lib.rs:129-131).  Unknown / EMPTY ids
+    map to EMPTY_ID.
+    """
+    n = nodes.shape[0]
+    pos = jnp.searchsorted(nodes, vids)
+    safe = jnp.clip(pos, 0, n - 1)
+    found = (pos < n) & (jnp.take(nodes, safe) == vids) & (vids != EMPTY_ID)
+    return jnp.where(found, pos, EMPTY_ID).astype(ID_DTYPE)
+
+
+def node_to_vec(nodes: jax.Array, nids: jax.Array) -> jax.Array:
+    """Map node ids back to vector ids (reference: Layer::get_vector)."""
+    n = nodes.shape[0]
+    safe = jnp.clip(nids, 0, n - 1)
+    out = jnp.take(nodes, safe)
+    return jnp.where(nids == EMPTY_ID, EMPTY_ID, out).astype(ID_DTYPE)
+
+
+def make_layer(nodes, neighbors) -> Layer:
+    return Layer(
+        nodes=jnp.asarray(nodes, ID_DTYPE), neighbors=jnp.asarray(neighbors, ID_DTYPE)
+    )
+
+
+def assert_layer_invariants(layers: Sequence[Layer]) -> None:
+    """Host-side invariant check (reference: src/search.rs:142-171): layer
+    nodes strictly ascending, and every node present in the layer below."""
+    import numpy as np
+
+    for i in range(len(layers)):
+        nodes = np.asarray(layers[i].nodes)
+        if not np.all(np.diff(nodes) > 0):
+            raise AssertionError(f"layer {i} nodes not strictly ascending")
+        if i + 1 < len(layers):
+            below = np.asarray(layers[i + 1].nodes)
+            missing = np.setdiff1d(nodes, below)
+            if missing.size:
+                raise AssertionError(
+                    f"layer {i} nodes missing from layer {i+1}: {missing[:10]}"
+                )

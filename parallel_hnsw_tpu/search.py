@@ -1,0 +1,276 @@
+"""Batched beam search over the layer stack — the query engine.
+
+Reference hot loop (`Layer::closest_nodes`, /root/reference/src/lib.rs:175-248):
+pop nearest unvisited node, gather its neighbor row, compute distances, merge
+into a sorted candidate queue; give up after ``probe_depth`` non-improving
+pops.  Multi-layer descent in ``search_layers`` (src/search.rs:84-140).
+
+TPU-native re-design: thousands of queries run in lockstep inside one jitted
+program.  Per query the state is a fixed-capacity sorted candidate queue with
+an "expanded" bit per slot; one *hop* expands the ``beam_width`` nearest
+unexpanded candidates, gathers their neighbor rows, computes all distances as
+one batched MXU contraction, and merges via masked sort.  Data-dependent
+termination (``did_something`` / ``probe_depth``) becomes a per-query
+convergence mask inside ``lax.while_loop``; the loop exits when every query in
+the batch has converged.  Zero host round-trips per hop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
+from parallel_hnsw_tpu.graph import Layer, Source, node_to_vec, source_get, vec_to_node
+from parallel_hnsw_tpu.ops.distance import Metric, batched_distance, distance_one
+from parallel_hnsw_tpu.ops.queues import (
+    empty_queue,
+    merge_queue,
+    merge_queue_with_flags,
+    sort_queue,
+)
+from parallel_hnsw_tpu.params import SearchParams
+
+
+class LayerSearchState(NamedTuple):
+    ids: jax.Array  # [Q, cap] node ids, (dist,id)-sorted
+    dists: jax.Array  # [Q, cap]
+    expanded: jax.Array  # [Q, cap] int32 0/1
+    probes: jax.Array  # [Q] remaining non-improving hops
+    done: jax.Array  # [Q] bool
+    hops: jax.Array  # scalar int32
+    evals: jax.Array  # scalar int32 — total distance evaluations (instrumentation)
+
+
+def _auto_max_hops(cap: int, max_hops: int) -> int:
+    return max_hops if max_hops > 0 else cap
+
+
+def search_one_layer(
+    layer: Layer,
+    source: Source,
+    metric: Metric,
+    queries: jax.Array,  # [Q, D]
+    init_ids: jax.Array,  # [Q, cap] node ids
+    init_dists: jax.Array,  # [Q, cap]
+    *,
+    probe_depth: int,
+    beam_width: int,
+    max_hops: int,
+) -> LayerSearchState:
+    """Expand candidate queues inside one layer until convergence.
+
+    Equivalent of `Layer::closest_nodes` (src/lib.rs:175-248), batched.
+    """
+    q_count, cap = init_ids.shape
+    n, m = layer.neighbors.shape
+    b = beam_width
+    max_hops = _auto_max_hops(cap, max_hops)
+
+    slot_pos = jnp.arange(cap, dtype=jnp.int32)
+
+    def cond(state: LayerSearchState) -> jax.Array:
+        return (state.hops < max_hops) & jnp.any(~state.done)
+
+    def body(state: LayerSearchState) -> LayerSearchState:
+        ids, dists, expanded, probes, done, hops, evals = state
+        # --- select up to `b` nearest unexpanded slots per query
+        frontier = (expanded == 0) & (ids != EMPTY_ID) & ~done[:, None]
+        rank = jnp.where(frontier, slot_pos[None, :], cap)
+        neg_rank, sel_slots = jax.lax.top_k(-rank, b)  # [Q, b] smallest ranks
+        sel_valid = neg_rank > -cap
+        sel_nodes = jnp.take_along_axis(ids, sel_slots, axis=-1)  # [Q, b]
+
+        # mark selected slots expanded
+        expanded = expanded.at[jnp.arange(q_count)[:, None], sel_slots].set(
+            jnp.where(sel_valid, 1, jnp.take_along_axis(expanded, sel_slots, axis=-1))
+        )
+
+        # --- gather neighbor rows [Q, b, M]
+        safe_nodes = jnp.clip(sel_nodes, 0, n - 1)
+        rows = jnp.take(layer.neighbors, safe_nodes, axis=0)
+        rows = jnp.where(sel_valid[..., None], rows, EMPTY_ID)
+        flat_nodes = rows.reshape(q_count, b * m)
+        valid = flat_nodes != EMPTY_ID
+
+        # --- distances to the query (one batched contraction)
+        cand_vecs = source_get(source, node_to_vec(layer.nodes, flat_nodes))
+        d = batched_distance(queries, cand_vecs, metric)
+        d = jnp.where(valid, d, EMPTY_DIST)
+        flat_ids = jnp.where(valid, flat_nodes, EMPTY_ID)
+        evals = evals + jnp.sum(valid.astype(jnp.int32))
+
+        # --- merge into queues
+        ids, dists, expanded, changed = merge_queue_with_flags(
+            ids, dists, expanded, flat_ids, d
+        )
+
+        # --- termination accounting (reference: probe_depth decrement on
+        # non-improving rounds, src/lib.rs:233-238)
+        probes = jnp.where(~done & ~changed, probes - 1, probes)
+        newly_done = (probes <= 0) | ~jnp.any(
+            (expanded == 0) & (ids != EMPTY_ID), axis=-1
+        )
+        done = done | newly_done
+        return LayerSearchState(ids, dists, expanded, probes, done, hops + 1, evals)
+
+    init = LayerSearchState(
+        ids=init_ids,
+        dists=init_dists,
+        expanded=jnp.zeros((q_count, cap), dtype=jnp.int32),
+        probes=jnp.full((q_count,), probe_depth, dtype=jnp.int32),
+        done=~jnp.any(init_ids != EMPTY_ID, axis=-1),
+        hops=jnp.zeros((), jnp.int32),
+        evals=jnp.zeros((), jnp.int32),
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+def _entry_seed(
+    layers: Sequence[Layer],
+    source: Source,
+    metric: Metric,
+    queries: jax.Array,
+    cap: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Seed the candidate queue with the entry vector — the first node of the
+    top layer (reference: src/search.rs:9-11,101-111)."""
+    q_count = queries.shape[0]
+    entry_vec = layers[0].nodes[0]
+    ev = source_get(source, entry_vec[None])[0]  # [D]
+    d = distance_one(queries, jnp.broadcast_to(ev, queries.shape), metric)
+    ids, dists = empty_queue(cap, (q_count,))
+    ids = ids.at[:, 0].set(entry_vec)
+    dists = dists.at[:, 0].set(d)
+    return ids, dists
+
+
+def search_stack(
+    layers: Sequence[Layer],
+    source: Source,
+    metric: Metric,
+    queries: jax.Array,  # [Q, D]
+    sp: SearchParams,
+    exclude: Optional[jax.Array] = None,  # [Q] vector ids to drop from results
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Descend the layer stack (reference: search_layers, src/search.rs:84-140).
+
+    Returns ``(vector_ids [Q, noc], dists [Q, noc], hops, evals)`` sorted
+    ascending by ``(dist, id)`` with EMPTY padding.
+    """
+    noc = sp.number_of_candidates
+    ulcc = sp.upper_layer_candidate_count
+    q_count = queries.shape[0]
+
+    cand_ids, cand_dists = _entry_seed(layers, source, metric, queries, noc)
+    total_hops = jnp.zeros((), jnp.int32)
+    total_evals = jnp.zeros((), jnp.int32)
+
+    for i, layer in enumerate(layers):
+        is_bottom = i == len(layers) - 1 or len(layers) == 1
+        out_count = noc if is_bottom else ulcc
+
+        node_ids = vec_to_node(layer.nodes, cand_ids)
+        node_dists = jnp.where(node_ids == EMPTY_ID, EMPTY_DIST, cand_dists)
+        # queue for this layer at full capacity (reference uses the carried
+        # queue's capacity, src/lib.rs:264)
+        init_ids, init_dists = merge_queue(
+            *empty_queue(noc, (q_count,)), node_ids, node_dists
+        )[:2]
+
+        state = search_one_layer(
+            layer,
+            source,
+            metric,
+            queries,
+            init_ids,
+            init_dists,
+            probe_depth=sp.probe_depth,
+            beam_width=sp.beam_width,
+            max_hops=sp.max_hops,
+        )
+        total_hops = total_hops + state.hops
+        total_evals = total_evals + state.evals
+
+        found_vecs = node_to_vec(layer.nodes, state.ids)
+        found_dists = state.dists
+        if exclude is not None:
+            drop = found_vecs == exclude[:, None]
+            found_vecs = jnp.where(drop, EMPTY_ID, found_vecs)
+            found_dists = jnp.where(drop, EMPTY_DIST, found_dists)
+        # keep only the best `out_count` from this layer (reference: take(
+        # candidate_count), src/lib.rs:273)
+        if out_count < noc:
+            found_vecs = found_vecs[:, :out_count]
+            found_dists = found_dists[:, :out_count]
+
+        cand_ids, cand_dists, _ = merge_queue(cand_ids, cand_dists, found_vecs, found_dists)
+
+    if exclude is not None:
+        # the entry seed bypasses the per-layer filter (the reference leaks it
+        # too and re-filters at call sites, e.g. src/search.rs:78-82); drop it
+        # from the final result for a clean exclusion contract.
+        drop = cand_ids == exclude[:, None]
+        cand_ids = jnp.where(drop, EMPTY_ID, cand_ids)
+        cand_dists = jnp.where(drop, EMPTY_DIST, cand_dists)
+        cand_ids, cand_dists = sort_queue(cand_ids, cand_dists)
+
+    return cand_ids, cand_dists, total_hops, total_evals
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "sp", "layer_count")
+)
+def _search_stack_jit(
+    layers_flat,
+    source,
+    metric: Metric,
+    queries,
+    sp: SearchParams,
+    exclude,
+    layer_count: int,
+):
+    layers = [Layer(*layers_flat[2 * i : 2 * i + 2]) for i in range(layer_count)]
+    return search_stack(layers, source, metric, queries, sp, exclude)
+
+
+def search(
+    layers: Sequence[Layer],
+    source: Source,
+    metric: Metric,
+    queries: jax.Array,
+    sp: SearchParams,
+    exclude: Optional[jax.Array] = None,
+    query_block: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Jitted multi-layer search with optional host-side query chunking.
+
+    ``query_block`` bounds device memory for huge query batches (the gathered
+    candidate block is ``[Q, beam*M, D]``); 0 = single launch.
+    """
+    flat = []
+    for l in layers:
+        flat.extend([l.nodes, l.neighbors])
+    flat = tuple(flat)
+
+    if query_block <= 0 or queries.shape[0] <= query_block:
+        ids, dists, _, _ = _search_stack_jit(
+            flat, source, metric, queries, sp, exclude, len(layers)
+        )
+        return ids, dists
+
+    outs = []
+    for start in range(0, queries.shape[0], query_block):
+        stop = min(start + query_block, queries.shape[0])
+        ex = exclude[start:stop] if exclude is not None else None
+        outs.append(
+            _search_stack_jit(
+                flat, source, metric, queries[start:stop], sp, ex, len(layers)
+            )[:2]
+        )
+    ids = jnp.concatenate([o[0] for o in outs], axis=0)
+    dists = jnp.concatenate([o[1] for o in outs], axis=0)
+    return ids, dists
