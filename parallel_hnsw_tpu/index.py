@@ -1,0 +1,372 @@
+"""The Hnsw index: user-facing API tying build/search/optimize/promote together.
+
+API parity with the reference's ``Hnsw<C>`` (/root/reference/src/lib.rs:585-1686):
+generate, search[_upto,_instrumented], knn, threshold_nn, improve_index,
+improve_neighbors, promote_at_layer, stochastic_recall[_at],
+discover_unreachable_vectors, extend_layer, plus persistence in
+:mod:`parallel_hnsw_tpu.io`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallel_hnsw_tpu import build as _build
+from parallel_hnsw_tpu import optimize as _optimize
+from parallel_hnsw_tpu import promote as _promote
+from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
+from parallel_hnsw_tpu.graph import (
+    Layer,
+    Source,
+    assert_layer_invariants,
+    node_to_vec,
+    source_get,
+)
+from parallel_hnsw_tpu.ops.distance import Metric
+from parallel_hnsw_tpu.ops.queues import empty_queue, merge_queue, sort_queue
+from parallel_hnsw_tpu.params import BuildParams, OptimizationParams, SearchParams
+from parallel_hnsw_tpu.progress import ProgressMonitor, ensure_monitor
+from parallel_hnsw_tpu.search import search as _search
+from parallel_hnsw_tpu.search import search_one_layer
+
+
+class Hnsw:
+    """A layered similarity graph over a vector source.
+
+    ``layers`` are ordered top→bottom like the reference.  All mutation
+    (improve/promote/extend) rebinds ``self.layers`` — arrays are immutable.
+    """
+
+    def __init__(
+        self,
+        layers: List[Layer],
+        source: Source,
+        metric: Metric,
+        build_parameters: Optional[BuildParams] = None,
+        verbose: bool = False,
+    ):
+        self.layers = list(layers)
+        self.source = source
+        self.metric = Metric(metric)
+        self.build_parameters = build_parameters or BuildParams()
+        self.verbose = verbose
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def generate(
+        cls,
+        source: Source,
+        vector_ids: Optional[jax.Array] = None,
+        bp: Optional[BuildParams] = None,
+        metric: Metric = Metric.COSINE,
+        seed: int = 0,
+        improve: bool = True,
+        progress: Optional[ProgressMonitor] = None,
+        verbose: bool = False,
+    ) -> "Hnsw":
+        """Full ladder build (reference: Hnsw::generate, src/lib.rs:825-893),
+        running ``improve_index`` after every layer like the reference."""
+        bp = bp or BuildParams()
+        monitor = ensure_monitor(progress)
+        if vector_ids is None:
+            vector_ids = jnp.arange(source.count, dtype=ID_DTYPE)
+        self_ref = cls([], source, metric, bp, verbose)
+
+        def improver(layers: List[Layer]) -> List[Layer]:
+            if not improve:
+                return layers
+            monitor.alive()
+            self_ref.layers = layers
+            self_ref.improve_index(bp, progress=monitor)
+            return self_ref.layers
+
+        layers = _build.generate(source, vector_ids, bp, metric, seed, improver)
+        self_ref.layers = layers
+        return self_ref
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(f"[hnsw] {msg}", flush=True)
+
+    # -- accessors (reference: src/lib.rs:591-651) ---------------------------
+
+    @property
+    def layer_count(self) -> int:
+        return len(self.layers)
+
+    def get_layer(self, i: int) -> Optional[Layer]:
+        """i counts from the bottom (reference: get_layer, src/lib.rs:604-606)."""
+        return self.get_layer_from_top(self.layer_count - i - 1)
+
+    def get_layer_from_top(self, i: int) -> Optional[Layer]:
+        return self.layers[i] if 0 <= i < self.layer_count else None
+
+    @property
+    def vector_count(self) -> int:
+        return self.layers[-1].node_count if self.layers else 0
+
+    def __len__(self) -> int:
+        return self.vector_count
+
+    @property
+    def entry_vector(self) -> int:
+        return int(self.layers[0].nodes[0])
+
+    def all_vectors(self) -> np.ndarray:
+        return np.asarray(self.layers[-1].nodes)
+
+    def supers_for_layer(self, layer_id: int) -> np.ndarray:
+        """reference: supers_for_layer (src/lib.rs:977-984); layer_id from bottom."""
+        if self.layer_count == layer_id + 1:
+            return np.asarray(self.get_layer(layer_id).nodes[:1])
+        return np.asarray(self.get_layer(layer_id + 1).nodes)
+
+    # -- search --------------------------------------------------------------
+
+    def search(
+        self,
+        queries: jax.Array,
+        sp: Optional[SearchParams] = None,
+        exclude: Optional[jax.Array] = None,
+        query_block: int = 0,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Batched multi-layer search. ``queries [Q, D]`` →
+        ``(vector_ids [Q, ef], dists [Q, ef])``."""
+        sp = sp or self.build_parameters.optimization.search
+        return _search(
+            self.layers, self.source, self.metric, queries, sp, exclude, query_block
+        )
+
+    def search_upto(
+        self,
+        queries: jax.Array,
+        sp: Optional[SearchParams] = None,
+        upto_layer_from_top: int = 0,
+    ) -> Tuple[jax.Array, jax.Array]:
+        sp = sp or self.build_parameters.optimization.search
+        return _search(
+            self.layers[:upto_layer_from_top], self.source, self.metric, queries, sp
+        )
+
+    def search_ids(self, vector_ids, sp=None, exclude_self: bool = False):
+        """Search with stored vectors as queries (AbstractVector::Stored)."""
+        vector_ids = jnp.asarray(vector_ids, ID_DTYPE)
+        queries = source_get(self.source, vector_ids)
+        exclude = vector_ids if exclude_self else None
+        return self.search(queries, sp, exclude=exclude)
+
+    # -- self-similarity (reference: knn/threshold_nn, src/lib.rs:905-962) ---
+
+    def knn(
+        self, k: int, probe_depth: int = 2, query_block: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All-pairs k-nearest-neighbors over the bottom layer.
+
+        Returns ``(vector_ids [N], neighbor_ids [N, k], dists [N, k])``.
+        """
+        layer = self.layers[-1]
+        n = layer.node_count
+        eff_factor = 3
+        cap = k * eff_factor
+        sp = SearchParams(
+            number_of_candidates=cap,
+            upper_layer_candidate_count=cap,
+            probe_depth=probe_depth,
+        )
+        ids_list, d_list = [], []
+        block = query_block if query_block > 0 else n
+        for start in range(0, n, block):
+            stop = min(start + block, n)
+            nids, nd = self._bottom_layer_self_search(start, stop, cap, sp)
+            ids_list.append(nids)
+            d_list.append(nd)
+        node_ids = np.concatenate(ids_list)
+        dists = np.concatenate(d_list)
+        # drop self, take k (reference: src/lib.rs:920-925)
+        self_col = np.arange(n)[:, None]
+        mask = node_ids == self_col
+        dists = np.where(mask, np.inf, dists)
+        node_ids = np.where(mask, EMPTY_ID, node_ids)
+        order = np.argsort(dists, axis=-1, kind="stable")[:, :k]
+        node_ids = np.take_along_axis(node_ids, order, -1)
+        dists = np.take_along_axis(dists, order, -1)
+        vec_ids = np.where(
+            node_ids == EMPTY_ID, EMPTY_ID, np.asarray(layer.nodes)[np.clip(node_ids, 0, n - 1)]
+        )
+        return np.asarray(layer.nodes), vec_ids, dists
+
+    def _bottom_layer_self_search(self, start: int, stop: int, cap: int, sp: SearchParams):
+        layer = self.layers[-1]
+        q_count = stop - start
+        queries = source_get(self.source, layer.nodes[start:stop])
+        init_ids, init_dists = empty_queue(cap, (q_count,))
+        init_ids = init_ids.at[:, 0].set(jnp.arange(start, stop, dtype=ID_DTYPE))
+        init_dists = init_dists.at[:, 0].set(0.0)
+        state = _bottom_search_jit(
+            layer,
+            self.source,
+            self.metric,
+            queries,
+            init_ids,
+            init_dists,
+            sp.probe_depth,
+            sp.beam_width,
+            sp.max_hops,
+        )
+        return np.asarray(state.ids), np.asarray(state.dists)
+
+    def threshold_nn(
+        self,
+        threshold: float,
+        probe_depth: int = 2,
+        initial_search_depth: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All neighbors within ``threshold`` distance, growing the queue by
+        doubling until covered (reference: threshold_nn, src/lib.rs:930-962).
+
+        Returns ``(vector_ids [N], neighbor_ids [N, cap], dists [N, cap])``
+        where entries at distance >= threshold are EMPTY-padded.
+        """
+        layer = self.layers[-1]
+        n = layer.node_count
+        cap = initial_search_depth or self.build_parameters.zero_layer_neighborhood_size
+        sp = SearchParams(probe_depth=probe_depth)
+        while True:
+            node_ids, dists = self._bottom_layer_self_search(
+                0, n, cap, sp.replace(number_of_candidates=cap, upper_layer_candidate_count=cap)
+            )
+            last = np.where(
+                np.isfinite(dists).any(-1),
+                np.max(np.where(np.isfinite(dists), dists, -np.inf), axis=-1),
+                0.0,
+            )
+            full = np.isfinite(dists).all(axis=-1)
+            if not np.any((last < threshold) & full):
+                break
+            cap *= 2
+        # mask out self and entries beyond the threshold
+        self_col = np.arange(n)[:, None]
+        bad = (node_ids == self_col) | (dists >= threshold)
+        node_ids = np.where(bad, EMPTY_ID, node_ids)
+        dists = np.where(bad, np.inf, dists)
+        order = np.argsort(dists, axis=-1, kind="stable")
+        node_ids = np.take_along_axis(node_ids, order, -1)
+        dists = np.take_along_axis(dists, order, -1)
+        vec_ids = np.where(
+            node_ids == EMPTY_ID,
+            EMPTY_ID,
+            np.asarray(layer.nodes)[np.clip(node_ids, 0, n - 1)],
+        )
+        return np.asarray(layer.nodes), vec_ids, dists
+
+    # -- optimization (reference: src/lib.rs:1463-1686) ----------------------
+
+    def stochastic_recall_at(self, at: int, op: Optional[OptimizationParams] = None) -> float:
+        op = op or self.build_parameters.optimization
+        return _optimize.stochastic_recall_at(self.layers, at, self.source, self.metric, op)
+
+    def stochastic_recall(self, op: Optional[OptimizationParams] = None) -> float:
+        op = op or self.build_parameters.optimization
+        return _optimize.stochastic_recall(self.layers, self.source, self.metric, op)
+
+    def improve_neighbors(
+        self, op: Optional[OptimizationParams] = None, last_recall: Optional[float] = None
+    ) -> float:
+        op = op or self.build_parameters.optimization
+        self.layers, recall = _optimize.improve_neighbors(
+            self.layers, self.source, self.metric, op, last_recall
+        )
+        return recall
+
+    def _promoter(self, layers: List[Layer], lft: int, bp: BuildParams):
+        def generate_fn(vecs: np.ndarray, new_bp: BuildParams) -> List[Layer]:
+            sub = Hnsw.generate(
+                self.source,
+                jnp.asarray(vecs, ID_DTYPE),
+                new_bp,
+                self.metric,
+                improve=True,
+                verbose=self.verbose,
+            )
+            return sub.layers
+
+        return _promote.promote_at_layer(
+            layers, lft, bp, self.source, self.metric, generate_fn,
+            log=self._log if self.verbose else None,
+        )
+
+    def promote_at_layer(self, layer_from_top: int, bp: Optional[BuildParams] = None) -> bool:
+        bp = bp or self.build_parameters
+        self.layers, promoted = self._promoter(self.layers, layer_from_top, bp)
+        return promoted
+
+    def improve_index(
+        self,
+        bp: Optional[BuildParams] = None,
+        last_recall: Optional[float] = None,
+        progress: Optional[ProgressMonitor] = None,
+    ) -> float:
+        bp = bp or self.build_parameters
+        monitor = ensure_monitor(progress)
+
+        def promoter(layers, lft, bpp):
+            monitor.alive()
+            return self._promoter(layers, lft, bpp)
+
+        self.layers, recall = _optimize.improve_index(
+            self.layers,
+            bp,
+            self.source,
+            self.metric,
+            last_recall,
+            promoter,
+            log=self._log if self.verbose else None,
+        )
+        return recall
+
+    # -- repair plumbing -----------------------------------------------------
+
+    def discover_unreachable_vectors(
+        self, layer_id_from_top: int, sp: Optional[SearchParams] = None
+    ) -> np.ndarray:
+        sp = sp or self.build_parameters.optimization.search
+        return _promote.discover_unreachable_vectors(
+            self.layers, layer_id_from_top, self.source, self.metric, sp
+        )
+
+    def extend_layer(self, layer_id: int, vecs: np.ndarray) -> None:
+        self.layers = _promote.extend_layer(self.layers, layer_id, vecs)
+
+    def assert_invariants(self) -> None:
+        assert_layer_invariants(self.layers)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "probe_depth", "beam_width", "max_hops"))
+def _bottom_search_jit(
+    layer: Layer,
+    source: Source,
+    metric: Metric,
+    queries,
+    init_ids,
+    init_dists,
+    probe_depth: int,
+    beam_width: int,
+    max_hops: int,
+):
+    return search_one_layer(
+        layer,
+        source,
+        metric,
+        queries,
+        init_ids,
+        init_dists,
+        probe_depth=probe_depth,
+        beam_width=beam_width,
+        max_hops=max_hops,
+    )

@@ -1,0 +1,260 @@
+"""Search-based graph optimization: relinking + stochastic recall + drivers.
+
+Reference (/root/reference/src/lib.rs:1070-1686): every node self-searches the
+stack and inserts itself into the rows of its best matches under per-row
+RwLocks (``link_nodes_in_layer_to_better_neighbors``, src/lib.rs:1084-1154);
+*stochastic recall* — the fraction of sampled nodes that can find themselves —
+is both the convergence criterion and the user-visible quality metric
+(src/lib.rs:1463-1505); ``improve_neighbors_upto`` / ``improve_index[_at]``
+loop until recall stops improving (src/lib.rs:1507-1686).
+
+TPU-native: relinking is one batched self-search of all N nodes plus a
+lock-free segmented top-M row rebuild (double-buffered — the reference's
+"pseudo layer" snapshot, src/lib.rs:1097-1100, is implicit in functional
+arrays).  Recall is one vmapped self-search of the sample.  The outer loops
+stay host-side, launching jitted programs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
+from parallel_hnsw_tpu.graph import Layer, Source, node_to_vec, source_get, vec_to_node
+from parallel_hnsw_tpu.ops.distance import Metric, batched_distance
+from parallel_hnsw_tpu.ops.segment import rebuild_rows
+from parallel_hnsw_tpu.params import BuildParams, OptimizationParams, SearchParams
+from parallel_hnsw_tpu.search import search, search_stack
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "sp", "stack_count", "match_count")
+)
+def _relink_layer_jit(
+    stack_flat: Tuple[jax.Array, ...],  # layers[0..=lft] nodes/neighbors pairs
+    source: Source,
+    metric: Metric,
+    sp: SearchParams,
+    stack_count: int,
+    match_count: int,
+):
+    """Batched relink of the deepest layer in ``stack_flat``.
+
+    Equivalent to link_nodes_in_layer_to_better_neighbors (src/lib.rs:1084-1154):
+    every node self-searches the stack (excluding itself), then inserts itself
+    into the rows of its top ``match_count`` matches; rows keep their best M.
+    """
+    layers = [
+        Layer(stack_flat[2 * i], stack_flat[2 * i + 1]) for i in range(stack_count)
+    ]
+    layer = layers[-1]
+    nodes, neighbors = layer.nodes, layer.neighbors
+    n, m = neighbors.shape
+
+    queries = source_get(source, nodes)
+    res_ids, res_d, _, _ = search_stack(layers, source, metric, queries, sp, exclude=nodes)
+    match_nodes = vec_to_node(nodes, res_ids[:, :match_count])  # [N, K]
+    match_d = jnp.where(match_nodes == EMPTY_ID, EMPTY_DIST, res_d[:, :match_count])
+
+    # recompute current row distances (rows store ids only — the reference
+    # recomputes them during the locked scan, src/lib.rs:1128-1132)
+    row_vecs = source_get(source, node_to_vec(nodes, neighbors))
+    own = source_get(source, nodes)
+    row_d = batched_distance(own, row_vecs, metric)
+    row_d = jnp.where(neighbors != EMPTY_ID, row_d, EMPTY_DIST)
+
+    self_ids = jnp.broadcast_to(jnp.arange(n, dtype=ID_DTYPE)[:, None], (n, m))
+    match_src = jnp.broadcast_to(
+        jnp.arange(n, dtype=ID_DTYPE)[:, None], match_nodes.shape
+    )
+
+    all_dst = jnp.concatenate([self_ids.reshape(-1), match_nodes.reshape(-1)])
+    all_src = jnp.concatenate([neighbors.reshape(-1), match_src.reshape(-1)])
+    all_d = jnp.concatenate([row_d.reshape(-1), match_d.reshape(-1)])
+
+    new_neighbors, _ = rebuild_rows(n, m, all_dst, all_src, all_d)
+    changed = jnp.sum(jnp.any(new_neighbors != neighbors, axis=-1).astype(jnp.int32))
+    return new_neighbors, changed
+
+
+def _flatten_stack(layers: Sequence[Layer]) -> Tuple[jax.Array, ...]:
+    flat: List[jax.Array] = []
+    for l in layers:
+        flat.extend([l.nodes, l.neighbors])
+    return tuple(flat)
+
+
+def link_layer_to_better_neighbors(
+    layers: List[Layer],
+    layer_from_top: int,
+    source: Source,
+    metric: Metric,
+    sp: SearchParams,
+) -> Tuple[List[Layer], int]:
+    """Relink one layer; returns the updated stack and #rows changed."""
+    stack = layers[: layer_from_top + 1]
+    # match_count = neighborhood size of the *index*, not of this layer
+    # (reference: self.neighborhood_size(), src/lib.rs:1093)
+    match_count = min(stack[-1].neighborhood_size, sp.number_of_candidates)
+    new_neighbors, changed = _relink_layer_jit(
+        _flatten_stack(stack), source, metric, sp, len(stack), match_count
+    )
+    new_layer = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
+    out = list(layers)
+    out[layer_from_top] = new_layer
+    return out, int(changed)
+
+
+def stochastic_recall_at(
+    layers: Sequence[Layer],
+    at: int,
+    source: Source,
+    metric: Metric,
+    op: OptimizationParams,
+    seed: int = 42,
+) -> float:
+    """Sampled self-findability of layer ``at``-from-top's nodes via a full
+    search (reference: stochastic_recall_at, src/lib.rs:1463-1499)."""
+    layer = layers[at]
+    total = layer.node_count
+    selection = max(1, int(total * op.recall_proportion))
+    if selection >= total:
+        sample = layer.nodes
+    else:
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(total)[:selection]
+        sample = jnp.take(layer.nodes, jnp.asarray(idx, ID_DTYPE))
+    queries = source_get(source, sample)
+    ids, _ = search(list(layers), source, metric, queries, op.search)
+    found = np.any(np.asarray(ids) == np.asarray(sample)[:, None], axis=-1)
+    return float(found.mean())
+
+
+def stochastic_recall(
+    layers: Sequence[Layer],
+    source: Source,
+    metric: Metric,
+    op: OptimizationParams,
+    seed: int = 42,
+) -> float:
+    assert len(layers) > 0
+    return stochastic_recall_at(layers, len(layers) - 1, source, metric, op, seed)
+
+
+def improve_neighbors_upto(
+    layers: List[Layer],
+    upto: int,
+    source: Source,
+    metric: Metric,
+    op: OptimizationParams,
+    last_recall: Optional[float] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> Tuple[List[Layer], float]:
+    """Relink layers 0..upto until recall stops improving (reference:
+    improve_neighbors_upto, src/lib.rs:1515-1544)."""
+    assert 1 <= upto <= len(layers)
+    last = last_recall if last_recall is not None else 0.0
+    improvement = 1.0
+    while improvement >= op.neighborhood_threshold and last < 1.0:
+        for lft in range(upto):
+            layers, changed = link_layer_to_better_neighbors(
+                layers, lft, source, metric, op.search
+            )
+            if log:
+                log(f"layer {lft}: relinked {changed}")
+        recall = stochastic_recall_at(layers, upto - 1, source, metric, op)
+        improvement = recall - last
+        last = recall
+        if log:
+            log(f"recall at {upto}/{len(layers)}: {recall} (improvement {improvement})")
+    return layers, last
+
+
+def improve_neighbors(
+    layers: List[Layer],
+    source: Source,
+    metric: Metric,
+    op: OptimizationParams,
+    last_recall: Optional[float] = None,
+) -> Tuple[List[Layer], float]:
+    return improve_neighbors_upto(layers, len(layers), source, metric, op, last_recall)
+
+
+# A promoter callback has signature
+#   promoter(layers, layer_from_top, bp) -> (layers, did_promote: bool)
+Promoter = Callable[[List[Layer], int, BuildParams], Tuple[List[Layer], bool]]
+
+
+def improve_index_at(
+    layers: List[Layer],
+    layer_from_top: int,
+    bp: BuildParams,
+    source: Source,
+    metric: Metric,
+    last_recall: Optional[float] = None,
+    promoter: Optional[Promoter] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> Tuple[List[Layer], float, int]:
+    """Reference: improve_index_at (src/lib.rs:1546-1603)."""
+    op = bp.optimization
+    recall = (
+        last_recall
+        if last_recall is not None
+        else stochastic_recall_at(layers, layer_from_top, source, metric, op)
+    )
+    improvement = 1.0
+    bailout = 1
+    while improvement >= op.promotion_threshold and recall < 1.0 and bailout != 0:
+        last = recall
+        current = 0
+        while current <= layer_from_top and bailout != 0:
+            layer_count = len(layers)
+            layers, recall = improve_neighbors_upto(
+                layers, current + 1, source, metric, op, None, log
+            )
+            if recall == 1.0:
+                current += 1
+                continue
+            if promoter is not None:
+                layers, promoted = promoter(layers, current, bp)
+                if promoted:
+                    delta = len(layers) - layer_count
+                    assert delta >= 0
+                    current += delta
+                    layer_from_top += delta
+                    layers, recall = improve_neighbors_upto(
+                        layers, current + 1, source, metric, op, recall, log
+                    )
+            current += 1
+        bailout -= 1
+        improvement = recall - last
+    return layers, recall, layer_from_top
+
+
+def improve_index(
+    layers: List[Layer],
+    bp: BuildParams,
+    source: Source,
+    metric: Metric,
+    last_recall: Optional[float] = None,
+    promoter: Optional[Promoter] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> Tuple[List[Layer], float]:
+    """Reference: improve_index (src/lib.rs:1664-1686)."""
+    recall = (
+        last_recall
+        if last_recall is not None
+        else stochastic_recall(layers, source, metric, bp.optimization)
+    )
+    layer_from_top = 0
+    while layer_from_top < len(layers):
+        layers, recall, layer_from_top = improve_index_at(
+            layers, layer_from_top, bp, source, metric, None, promoter, log
+        )
+        layer_from_top += 1
+    return layers, recall
