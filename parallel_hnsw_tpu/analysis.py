@@ -1,15 +1,22 @@
-"""Recall measurement and brute-force ground truth."""
+"""Graph analysis / diagnostics + recall measurement.
+
+Reference diagnostics (/root/reference/src/lib.rs:279-548): lock-free parallel
+BFS distance maps from super-nodes (``node_distances``), reachability scans,
+argmin partitioning, promotion discovery.  TPU-native: BFS is a masked
+frontier iteration with scatter-min edge relaxation inside ``lax.while_loop``;
+the atomics disappear.
+"""
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from parallel_hnsw_tpu.constants import EMPTY_DIST
-from parallel_hnsw_tpu.graph import Layer, Source, source_get
+from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
+from parallel_hnsw_tpu.graph import Layer, Source, source_get, vec_to_node
 from parallel_hnsw_tpu.ops.distance import Metric, pairwise_distance
 from parallel_hnsw_tpu.params import SearchParams
 from parallel_hnsw_tpu.search import search
@@ -43,3 +50,112 @@ def first_hit_recall(
     ids, _ = search(layers, source, metric, queries, sp, query_block=query_block)
     hits = np.asarray(ids[:, 0]) == np.arange(source.count)
     return float(hits.mean())
+
+
+# ---------------------------------------------------------------------------
+# BFS distance maps (reference: node_distances, src/lib.rs:425-489)
+
+INF_I32 = jnp.iinfo(jnp.int32).max
+
+
+def node_distances(layer: Layer, supers: jax.Array) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-node (hops, index_sum) distance to the nearest super-node.
+
+    The reference runs a lock-free parallel BFS with atomic CAS on hops and
+    fetch-min on index_sum (src/lib.rs:425-489; index_sum = sum of
+    (neighbor-slot position + 1) along the path).  Here both relax to a
+    fixpoint via scatter-min frontier iterations — deterministic where the
+    reference's index_sum depends on scheduling.
+
+    Returns numpy ``(hops [N], index_sum [N])`` with INT32_MAX = unreachable.
+    """
+    n, m = layer.neighbors.shape
+    super_nodes = vec_to_node(layer.nodes, jnp.asarray(supers, ID_DTYPE))
+    hops0 = jnp.full((n,), INF_I32, jnp.int32)
+    isum0 = jnp.full((n,), INF_I32, jnp.int32)
+    safe_supers = jnp.clip(super_nodes, 0, n - 1)
+    valid = super_nodes != EMPTY_ID
+    hops0 = hops0.at[safe_supers].min(jnp.where(valid, 0, INF_I32))
+    isum0 = isum0.at[safe_supers].min(jnp.where(valid, 0, INF_I32))
+
+    src = jnp.broadcast_to(jnp.arange(n, dtype=ID_DTYPE)[:, None], (n, m)).reshape(-1)
+    dst = layer.neighbors.reshape(-1)
+    pos_cost = jnp.broadcast_to(
+        jnp.arange(1, m + 1, dtype=jnp.int32)[None, :], (n, m)
+    ).reshape(-1)
+    edge_ok = dst != EMPTY_ID
+    dst_safe = jnp.where(edge_ok, dst, n)  # out-of-bounds drops
+
+    def body(state):
+        hops, isum, _ = state
+        cand_h = jnp.where(
+            (hops[src] < INF_I32) & edge_ok, hops[src] + 1, INF_I32
+        )
+        cand_s = jnp.where(
+            (isum[src] < INF_I32) & edge_ok, isum[src] + pos_cost, INF_I32
+        )
+        new_h = hops.at[dst_safe].min(cand_h, mode="drop")
+        new_s = isum.at[dst_safe].min(cand_s, mode="drop")
+        changed = jnp.any(new_h != hops) | jnp.any(new_s != isum)
+        return new_h, new_s, changed
+
+    def cond(state):
+        return state[2]
+
+    hops, isum, _ = jax.lax.while_loop(
+        cond, body, (hops0, isum0, jnp.asarray(True))
+    )
+    return np.asarray(hops), np.asarray(isum)
+
+
+def nodes_not_connected_to_super(layer: Layer, supers: jax.Array) -> np.ndarray:
+    """Node ids unreachable from every super (reference: src/lib.rs:414-422)."""
+    hops, _ = node_distances(layer, supers)
+    return np.nonzero(hops == np.iinfo(np.int32).max)[0].astype(np.int32)
+
+
+def discover_nodes_to_promote(layer: Layer, supers: jax.Array) -> np.ndarray:
+    """Unreachable nodes ordered worst-first (reference: src/lib.rs:510-536):
+    sort by descending index_sum, then descending hops, then node id; keep the
+    BFS-unreachable prefix."""
+    hops, isum = node_distances(layer, supers)
+    order = np.lexsort((np.arange(len(hops)), -hops.astype(np.int64), -isum.astype(np.int64)))
+    unreachable = hops[order] == np.iinfo(np.int32).max
+    return order[unreachable].astype(np.int32)
+
+
+def reachables_from(layer: Layer, node: int, check: Sequence[int]) -> list:
+    """DFS reachability restricted to ``check`` (reference: src/lib.rs:491-508).
+    Returns [(node, path_cost)] in discovery order."""
+    neighbors = np.asarray(layer.neighbors)
+    remaining = set(int(c) for c in check)
+    result = [(int(node), 0)]
+    stack = [(int(node), 0)]
+    while stack:
+        cur, dist = stack.pop()
+        for ix, nb in enumerate(neighbors[cur]):
+            nb = int(nb)
+            if nb != EMPTY_ID and nb in remaining:
+                remaining.discard(nb)
+                nd = dist + ix + 1
+                stack.append((nb, nd))
+                result.append((nb, nd))
+    return result
+
+
+def group_nodes_by_vectors(
+    layer: Layer, source: Source, metric: Metric, vectors: jax.Array
+) -> np.ndarray:
+    """Partition nodes by nearest vector in ``vectors`` (reference:
+    group_nodes_by_vectors, src/lib.rs:279-321).  Returns, per node, the index
+    into ``vectors`` of its closest super."""
+    node_feats = source_get(source, layer.nodes)
+    super_feats = source_get(source, jnp.asarray(vectors, ID_DTYPE))
+    d = pairwise_distance(node_feats, super_feats, metric)
+    return np.asarray(jnp.argmin(d, axis=-1))
+
+
+def reverse_get_neighbors(layer: Layer, node: int) -> np.ndarray:
+    """All nodes whose row contains ``node`` (reference: src/lib.rs:538-548)."""
+    neighbors = np.asarray(layer.neighbors)
+    return np.nonzero((neighbors == int(node)).any(axis=1))[0].astype(np.int32)

@@ -330,6 +330,29 @@ class Hnsw:
         )
         return recall
 
+    # -- diagnostics (reference: src/lib.rs:279-548, 977-1000) ---------------
+
+    def node_distances_for_layer(self, layer_id: int):
+        """BFS (hops, index_sum) per node of a from-bottom layer id
+        (reference: node_distances_for_layer, src/lib.rs:986-990)."""
+        from parallel_hnsw_tpu import analysis
+
+        layer = self.get_layer(layer_id)
+        supers = self.supers_for_layer(layer_id)
+        return analysis.node_distances(layer, jnp.asarray(supers, ID_DTYPE))
+
+    def discover_nodes_to_promote(self, layer_id: int) -> np.ndarray:
+        from parallel_hnsw_tpu import analysis
+
+        layer = self.get_layer(layer_id)
+        supers = self.supers_for_layer(layer_id)
+        return analysis.discover_nodes_to_promote(layer, jnp.asarray(supers, ID_DTYPE))
+
+    def reachables_from_node_for_layer(self, layer_id_from_top: int, node: int, check):
+        from parallel_hnsw_tpu import analysis
+
+        return analysis.reachables_from(self.layers[layer_id_from_top], node, check)
+
     # -- repair plumbing -----------------------------------------------------
 
     def discover_unreachable_vectors(

@@ -67,7 +67,7 @@ def search_one_layer(
     """
     q_count, cap = init_ids.shape
     n, m = layer.neighbors.shape
-    b = beam_width
+    b = min(beam_width, cap)
     max_hops = _auto_max_hops(cap, max_hops)
 
     slot_pos = jnp.arange(cap, dtype=jnp.int32)
