@@ -1,0 +1,158 @@
+"""Index persistence: directory format with pinned dtypes.
+
+Mirrors the reference's layout (/root/reference/src/serialize.rs:33-209):
+``meta`` JSON with layer_count + build parameters, per-layer
+``layer.meta.{n}`` JSON and raw ``layer.nodes.{n}`` / ``layer.neighbors.{n}``
+dumps (numbered from the *bottom*), plus a ``comparator/`` directory for the
+vector store.  Unlike the reference's native-endian ``usize`` memory dumps
+(src/serialize.rs:96-121), all arrays are little-endian int32/float32 — the
+format is portable across hosts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from parallel_hnsw_tpu.constants import ID_DTYPE
+from parallel_hnsw_tpu.graph import DenseSource, Layer, PqSource, Source
+from parallel_hnsw_tpu.index import Hnsw
+from parallel_hnsw_tpu.ops.distance import Metric
+from parallel_hnsw_tpu.params import (
+    BuildParams,
+    build_params_from_dict,
+    params_to_dict,
+)
+
+FORMAT_VERSION = 1
+
+
+class SerializationError(Exception):
+    pass
+
+
+class IndexNotFound(SerializationError):
+    """Missing comparator directory (reference: serialize.rs:143-146)."""
+
+
+def _write_array(path: Path, arr: np.ndarray, dtype: str) -> None:
+    np.ascontiguousarray(arr.astype(np.dtype(dtype).newbyteorder("<"))).tofile(path)
+
+
+def _read_array(path: Path, dtype: str, shape) -> np.ndarray:
+    arr = np.fromfile(path, dtype=np.dtype(dtype).newbyteorder("<"))
+    return arr.reshape(shape)
+
+
+# -- source (comparator) serialization --------------------------------------
+
+
+def serialize_source(source: Source, path: Union[str, Path]) -> None:
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    if isinstance(source, DenseSource):
+        vec = np.asarray(source.vectors, np.float32)
+        meta = {"kind": "dense", "count": vec.shape[0], "dim": vec.shape[1]}
+        _write_array(path / "vectors", vec, "float32")
+    elif isinstance(source, PqSource):
+        codes = np.asarray(source.codes, np.int32)
+        book = np.asarray(source.codebook, np.float32)
+        meta = {
+            "kind": "pq",
+            "count": codes.shape[0],
+            "nsub": book.shape[0],
+            "k": book.shape[1],
+            "dsub": book.shape[2],
+        }
+        _write_array(path / "codes", codes, "int32")
+        _write_array(path / "codebook", book, "float32")
+    else:
+        raise SerializationError(f"unknown source type {type(source)}")
+    (path / "meta").write_text(json.dumps(meta))
+
+
+def deserialize_source(path: Union[str, Path]) -> Source:
+    path = Path(path)
+    meta = json.loads((path / "meta").read_text())
+    if meta["kind"] == "dense":
+        vec = _read_array(path / "vectors", "float32", (meta["count"], meta["dim"]))
+        return DenseSource(vectors=jnp.asarray(vec))
+    if meta["kind"] == "pq":
+        codes = _read_array(path / "codes", "int32", (meta["count"], meta["nsub"]))
+        book = _read_array(
+            path / "codebook", "float32", (meta["nsub"], meta["k"], meta["dsub"])
+        )
+        return PqSource(codes=jnp.asarray(codes), codebook=jnp.asarray(book))
+    raise SerializationError(f"unknown source kind {meta['kind']}")
+
+
+# -- hnsw serialization ------------------------------------------------------
+
+
+def serialize_hnsw(hnsw: Hnsw, path: Union[str, Path], store_source: bool = True) -> None:
+    """reference: serialize_hnsw (serialize.rs:33-124)."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    layer_count = hnsw.layer_count
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "layer_count": layer_count,
+        "metric": hnsw.metric.value,
+        "build_parameters": params_to_dict(hnsw.build_parameters),
+    }
+    (path / "meta").write_text(json.dumps(meta))
+
+    if store_source:
+        serialize_source(hnsw.source, path / "comparator")
+
+    for i, layer in enumerate(hnsw.layers):
+        layer_number = layer_count - i - 1  # numbered from the bottom like the reference
+        (path / f"layer.meta.{layer_number}").write_text(
+            json.dumps(
+                {
+                    "node_count": layer.node_count,
+                    "neighborhood_size": layer.neighborhood_size,
+                }
+            )
+        )
+        _write_array(path / f"layer.nodes.{layer_number}", np.asarray(layer.nodes), "int32")
+        _write_array(
+            path / f"layer.neighbors.{layer_number}", np.asarray(layer.neighbors), "int32"
+        )
+
+
+def deserialize_hnsw(
+    path: Union[str, Path], source: Optional[Source] = None
+) -> Hnsw:
+    """reference: deserialize_hnsw (serialize.rs:126-209).  If ``source`` is
+    None the comparator directory must exist."""
+    path = Path(path)
+    meta = json.loads((path / "meta").read_text())
+    layer_count = meta["layer_count"]
+    bp = build_params_from_dict(meta["build_parameters"])
+    metric = Metric(meta["metric"])
+
+    if source is None:
+        if not (path / "comparator").exists():
+            raise IndexNotFound(str(path))
+        source = deserialize_source(path / "comparator")
+
+    layers = []
+    for i in range(layer_count):
+        layer_number = layer_count - i - 1
+        lm = json.loads((path / f"layer.meta.{layer_number}").read_text())
+        nodes = _read_array(
+            path / f"layer.nodes.{layer_number}", "int32", (lm["node_count"],)
+        )
+        neighbors = _read_array(
+            path / f"layer.neighbors.{layer_number}",
+            "int32",
+            (lm["node_count"], lm["neighborhood_size"]),
+        )
+        layers.append(Layer(nodes=jnp.asarray(nodes), neighbors=jnp.asarray(neighbors)))
+    return Hnsw(layers, source, metric, bp)

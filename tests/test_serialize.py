@@ -1,0 +1,80 @@
+"""Persistence round-trip tests (reference format: src/serialize.rs)."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallel_hnsw_tpu.graph import DenseSource, PqSource
+from parallel_hnsw_tpu.index import Hnsw
+from parallel_hnsw_tpu.io import (
+    IndexNotFound,
+    deserialize_hnsw,
+    deserialize_source,
+    serialize_hnsw,
+    serialize_source,
+)
+from parallel_hnsw_tpu.ops.distance import Metric
+from parallel_hnsw_tpu.params import BuildParams, OptimizationParams
+from parallel_hnsw_tpu.utils.data import random_unit_corpus
+
+
+def build(count=120, dim=8):
+    source = random_unit_corpus(count, dim)
+    bp = BuildParams(
+        order=6,
+        neighborhood_size=4,
+        zero_layer_neighborhood_size=8,
+        optimization=OptimizationParams(recall_proportion=1.0),
+    )
+    return Hnsw.generate(source, None, bp, Metric.NORMALIZED_COSINE, seed=2)
+
+
+def test_round_trip(tmp_path):
+    hnsw = build()
+    serialize_hnsw(hnsw, tmp_path / "idx")
+    loaded = deserialize_hnsw(tmp_path / "idx")
+    assert loaded.layer_count == hnsw.layer_count
+    assert loaded.metric == hnsw.metric
+    assert loaded.build_parameters == hnsw.build_parameters
+    for a, b in zip(hnsw.layers, loaded.layers):
+        np.testing.assert_array_equal(np.asarray(a.nodes), np.asarray(b.nodes))
+        np.testing.assert_array_equal(np.asarray(a.neighbors), np.asarray(b.neighbors))
+    np.testing.assert_array_equal(
+        np.asarray(hnsw.source.vectors), np.asarray(loaded.source.vectors)
+    )
+    # identical search results
+    q = hnsw.source.vectors[:5]
+    i1, d1 = hnsw.search(q)
+    i2, d2 = loaded.search(q)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_missing_comparator(tmp_path):
+    hnsw = build()
+    serialize_hnsw(hnsw, tmp_path / "idx", store_source=False)
+    with pytest.raises(IndexNotFound):
+        deserialize_hnsw(tmp_path / "idx")
+    # but works with an externally supplied source
+    loaded = deserialize_hnsw(tmp_path / "idx", source=hnsw.source)
+    assert loaded.layer_count == hnsw.layer_count
+
+
+def test_layer_files_numbered_from_bottom(tmp_path):
+    hnsw = build()
+    serialize_hnsw(hnsw, tmp_path / "idx")
+    # bottom layer is layer.*.0 like the reference (serialize.rs:66-67)
+    meta0 = json.loads((tmp_path / "idx" / "layer.meta.0").read_text())
+    assert meta0["node_count"] == hnsw.vector_count
+
+
+def test_pq_source_round_trip(tmp_path):
+    codes = jnp.asarray(np.random.default_rng(0).integers(0, 16, (30, 4)), jnp.int32)
+    book = jnp.asarray(np.random.default_rng(1).normal(size=(4, 16, 2)), jnp.float32)
+    src = PqSource(codes=codes, codebook=book)
+    serialize_source(src, tmp_path / "pq")
+    loaded = deserialize_source(tmp_path / "pq")
+    assert isinstance(loaded, PqSource)
+    np.testing.assert_array_equal(np.asarray(loaded.codes), np.asarray(codes))
+    np.testing.assert_array_equal(np.asarray(loaded.codebook), np.asarray(book))
