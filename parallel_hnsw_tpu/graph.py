@@ -54,17 +54,22 @@ class DenseSource(NamedTuple):
 
 
 class PqSource(NamedTuple):
-    """PQ-compressed vectors: per-id codes plus a per-subspace codebook.
+    """PQ-compressed vectors: per-id codes plus a codebook.
 
+    The codebook is either shared across subspaces, ``[K, Dsub]`` (the
+    reference's design — one centroid HNSW serves every subspace,
+    src/pq.rs:29-82), or per-subspace ``[Q, K, Dsub]`` (classic PQ).
     ``get`` reconstructs full vectors by codebook gather — the TPU equivalent
     of the reference's reconstructing quantized comparator (src/pq.rs:585-600).
     """
 
     codes: jax.Array  # [V, Q] int32 (centroid ids per subspace)
-    codebook: jax.Array  # [Q, K, Dsub] float
+    codebook: jax.Array  # [K, Dsub] shared or [Q, K, Dsub] per-subspace
 
     @property
     def dim(self) -> int:
+        if self.codebook.ndim == 2:
+            return self.codes.shape[1] * self.codebook.shape[1]
         return self.codebook.shape[0] * self.codebook.shape[2]
 
     @property
@@ -93,8 +98,16 @@ def source_get(source: Source, ids: jax.Array) -> jax.Array:
 
 def reconstruct(codebook: jax.Array, codes: jax.Array) -> jax.Array:
     """Decode PQ codes ``[*, Q]`` -> vectors ``[*, Q*Dsub]`` by centroid gather
-    (reference: Quantizer::reconstruct, src/pq.rs:73-81)."""
-    nsub, k, dsub = codebook.shape
+    (reference: Quantizer::reconstruct, src/pq.rs:73-81).  Accepts a shared
+    ``[K, Dsub]`` or per-subspace ``[Q, K, Dsub]`` codebook."""
+    nsub = codes.shape[-1]
+    if codebook.ndim == 2:
+        k, dsub = codebook.shape
+        safe = jnp.clip(codes, 0, k - 1)
+        sub = jnp.take(codebook, safe, axis=0)  # [*, Q, Dsub]
+        return sub.reshape(codes.shape[:-1] + (nsub * dsub,))
+    nsub_b, k, dsub = codebook.shape
+    assert nsub_b == nsub
     safe = jnp.clip(codes, 0, k - 1)
     flat = safe.reshape(-1, nsub)  # [B, Q]
     q_idx = jnp.arange(nsub)[None, :]  # [1, Q]

@@ -65,9 +65,8 @@ def serialize_source(source: Source, path: Union[str, Path]) -> None:
         meta = {
             "kind": "pq",
             "count": codes.shape[0],
-            "nsub": book.shape[0],
-            "k": book.shape[1],
-            "dsub": book.shape[2],
+            "nsub": codes.shape[1],
+            "codebook_shape": list(book.shape),  # [K, dsub] shared or [Q, K, dsub]
         }
         _write_array(path / "codes", codes, "int32")
         _write_array(path / "codebook", book, "float32")
@@ -84,9 +83,7 @@ def deserialize_source(path: Union[str, Path]) -> Source:
         return DenseSource(vectors=jnp.asarray(vec))
     if meta["kind"] == "pq":
         codes = _read_array(path / "codes", "int32", (meta["count"], meta["nsub"]))
-        book = _read_array(
-            path / "codebook", "float32", (meta["nsub"], meta["k"], meta["dsub"])
-        )
+        book = _read_array(path / "codebook", "float32", tuple(meta["codebook_shape"]))
         return PqSource(codes=jnp.asarray(codes), codebook=jnp.asarray(book))
     raise SerializationError(f"unknown source kind {meta['kind']}")
 
@@ -156,3 +153,37 @@ def deserialize_hnsw(
         )
         layers.append(Layer(nodes=jnp.asarray(nodes), neighbors=jnp.asarray(neighbors)))
     return Hnsw(layers, source, metric, bp)
+
+
+# -- quantized hnsw (reference: src/pq.rs:413-477) ---------------------------
+
+
+def serialize_quantized_hnsw(q, path: Union[str, Path]) -> None:
+    """Nested layout: quantizer/, hnsw/, comparator/ (reference:
+    src/pq.rs:433-452) plus pq meta."""
+    from parallel_hnsw_tpu.pq import QuantizedHnsw
+
+    assert isinstance(q, QuantizedHnsw)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    serialize_hnsw(q.quantizer.hnsw, path / "quantizer")
+    (path / "quantizer" / "pq_build_parameters.json").write_text(
+        json.dumps({"nsub": q.quantizer.nsub, "pq_params": params_to_dict(q.quantizer.pq_params)})
+    )
+    serialize_hnsw(q.hnsw, path / "hnsw")
+    serialize_source(q.full_source, path / "comparator")
+
+
+def deserialize_quantized_hnsw(path: Union[str, Path]):
+    from parallel_hnsw_tpu.params import pq_build_params_from_dict
+    from parallel_hnsw_tpu.pq import HnswQuantizer, QuantizedHnsw
+
+    path = Path(path)
+    centroid_hnsw = deserialize_hnsw(path / "quantizer")
+    qmeta = json.loads((path / "quantizer" / "pq_build_parameters.json").read_text())
+    quantizer = HnswQuantizer(
+        centroid_hnsw, qmeta["nsub"], pq_build_params_from_dict(qmeta["pq_params"])
+    )
+    hnsw = deserialize_hnsw(path / "hnsw")
+    full_source = deserialize_source(path / "comparator")
+    return QuantizedHnsw(quantizer, hnsw, full_source)

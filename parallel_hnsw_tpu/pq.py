@@ -1,0 +1,335 @@
+"""Product quantization: two-level index with exact rerank.
+
+Reference (/root/reference/src/pq.rs): an ``HnswQuantizer`` is an HNSW over a
+*shared* codebook of sub-vector centroids (src/pq.rs:29-82); ``quantize`` runs
+one centroid-graph search per sub-vector (src/pq.rs:61-71); the
+``QuantizedHnsw`` builds a second HNSW over the codes where every comparison
+reconstructs both vectors from centroids (src/pq.rs:585-600), and ``search``
+quantizes the query, searches the code graph, then exact-reranks with the
+full-precision vectors (src/pq.rs:346-364).  Centroids come from random
+sub-vector sampling (src/pq.rs:261-285) with a latent k-means path
+(src/pq.rs:215-259).
+
+TPU-native: quantization is a batched search (or exact MXU argmin), k-means is
+a jitted Lloyd's loop on the MXU, reconstruction is a codebook gather, and the
+ADC path (the reference's never-implemented ``PartialDistance``,
+src/pq.rs:24-27) is realized as a per-query ``[nsub, K]`` lookup table whose
+row-sums score whole candidate blocks on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallel_hnsw_tpu.constants import EMPTY_ID, ID_DTYPE
+from parallel_hnsw_tpu.graph import DenseSource, PqSource, reconstruct, source_get
+from parallel_hnsw_tpu.index import Hnsw
+from parallel_hnsw_tpu.ops.distance import Metric, pairwise_distance
+from parallel_hnsw_tpu.ops.queues import sort_queue
+from parallel_hnsw_tpu.params import (
+    BuildParams,
+    OptimizationParams,
+    PqBuildParams,
+    SearchParams,
+)
+from parallel_hnsw_tpu.progress import ProgressMonitor, ensure_monitor
+
+
+# ---------------------------------------------------------------------------
+# Centroid selection
+
+
+def random_centroids(
+    vectors: jax.Array, n_centroids: int, dsub: int, seed: int = 0
+) -> np.ndarray:
+    """Sample vectors, split into sub-vectors, dedup, shuffle, truncate
+    (reference: random_centroids, src/pq.rs:261-285).  Returns ``[K, dsub]``."""
+    rng = np.random.default_rng(seed)
+    vecs = np.asarray(vectors)
+    count, dim = vecs.shape
+    assert dim % dsub == 0
+    sel = rng.permutation(count)[: min(n_centroids, count)]
+    subs = vecs[sel].reshape(-1, dsub)
+    subs = np.unique(subs, axis=0)
+    rng.shuffle(subs)
+    return subs[:n_centroids].astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_jit(data: jax.Array, init: jax.Array, k: int, iters: int):
+    def step(carry, _):
+        centroids = carry
+        d = pairwise_distance(data, centroids, Metric.SQUARED_EUCLIDEAN)
+        assign = jnp.argmin(d, axis=-1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+        sums = one_hot.T @ data
+        counts = one_hot.sum(axis=0)[:, None]
+        new_centroids = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centroids)
+        return new_centroids, None
+
+    out, _ = jax.lax.scan(step, init, None, length=iters)
+    return out
+
+
+def kmeans_centroids(
+    vectors: jax.Array,
+    n_centroids: int,
+    dsub: int,
+    iters: int = 5,
+    seed: int = 42,
+    sample: Optional[int] = None,
+) -> np.ndarray:
+    """Lloyd's k-means over sub-vectors on the MXU (the reference's latent
+    linfa path: 1 run, <=5 iterations, seed 42; src/pq.rs:215-259)."""
+    vecs = np.asarray(vectors)
+    subs = vecs.reshape(-1, dsub)
+    if sample is not None and sample < len(subs):
+        rng = np.random.default_rng(seed)
+        subs = subs[rng.permutation(len(subs))[:sample]]
+    k = min(n_centroids, len(subs))
+    rng = np.random.default_rng(seed)
+    init = subs[rng.permutation(len(subs))[:k]]
+    out = _kmeans_jit(jnp.asarray(subs), jnp.asarray(init), k, iters)
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Quantizer
+
+
+class HnswQuantizer:
+    """HNSW over a shared sub-vector codebook (reference: src/pq.rs:29-82)."""
+
+    def __init__(self, centroid_hnsw: Hnsw, nsub: int, pq_params: PqBuildParams):
+        self.hnsw = centroid_hnsw
+        self.nsub = nsub
+        self.pq_params = pq_params
+
+    @property
+    def centroids(self) -> jax.Array:
+        return self.hnsw.source.vectors  # [K, dsub]
+
+    @property
+    def dsub(self) -> int:
+        return int(self.centroids.shape[1])
+
+    def quantize(self, vecs: jax.Array, exact: bool = False) -> jax.Array:
+        """``[B, SIZE] -> [B, nsub] int32`` codes.  Graph-search per sub-vector
+        like the reference (src/pq.rs:61-71), or exact MXU argmin."""
+        b = vecs.shape[0]
+        subs = vecs.reshape(b * self.nsub, self.dsub)
+        if exact:
+            d = pairwise_distance(subs, self.centroids, self.hnsw.metric)
+            codes = jnp.argmin(d, axis=-1)
+        else:
+            sp = self.pq_params.quantized_search
+            ids, _ = self.hnsw.search(subs, sp, query_block=65536)
+            codes = ids[:, 0]
+        return codes.reshape(b, self.nsub).astype(ID_DTYPE)
+
+    def reconstruct(self, codes: jax.Array) -> jax.Array:
+        """``[B, nsub] -> [B, SIZE]`` (reference: src/pq.rs:73-81)."""
+        return reconstruct(self.centroids, codes)
+
+
+# ---------------------------------------------------------------------------
+# ADC lookup tables — the reference's PartialDistance made real
+
+
+def adc_lut(queries: jax.Array, codebook: jax.Array, metric: Metric) -> jax.Array:
+    """Per-query partial-distance tables ``[Q, nsub, K]``.
+
+    For dot-family metrics the partial is the negated sub-dot; for euclidean
+    the partial is the squared sub-distance.  :func:`adc_finish` maps summed
+    partials back to the metric's distance.
+    """
+    metric = Metric(metric)
+    q, size = queries.shape
+    if codebook.ndim == 2:
+        k, dsub = codebook.shape
+        nsub = size // dsub
+        subs = queries.reshape(q * nsub, dsub)
+        if metric in (Metric.COSINE, Metric.NORMALIZED_COSINE, Metric.DOT):
+            lut = -jax.lax.dot_general(
+                subs, codebook, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            lut = pairwise_distance(subs, codebook, Metric.SQUARED_EUCLIDEAN)
+        return lut.reshape(q, nsub, k)
+    # per-subspace codebook [nsub, K, dsub]
+    nsub, k, dsub = codebook.shape
+    subs = queries.reshape(q, nsub, dsub)
+    if metric in (Metric.COSINE, Metric.NORMALIZED_COSINE, Metric.DOT):
+        return -jnp.einsum(
+            "qnd,nkd->qnk", subs, codebook,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    diff = subs[:, :, None, :] - codebook[None]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def adc_finish(partial_sums: jax.Array, metric: Metric) -> jax.Array:
+    metric = Metric(metric)
+    if metric is Metric.COSINE:
+        return 1.0 + partial_sums
+    if metric is Metric.NORMALIZED_COSINE:
+        return (1.0 + partial_sums) / 2.0
+    if metric is Metric.DOT:
+        return partial_sums
+    if metric is Metric.SQUARED_EUCLIDEAN:
+        return partial_sums
+    return jnp.sqrt(jnp.maximum(partial_sums, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def adc_scan(lut: jax.Array, codes: jax.Array, metric: Metric) -> jax.Array:
+    """Score all stored codes against per-query LUTs: ``[Q, nsub, K] x
+    [N, nsub] -> [Q, N]`` via gather + subspace sum on the VPU."""
+    # lut[q, i, codes[n, i]] summed over i
+    gathered = jnp.take_along_axis(
+        lut[:, None, :, :],  # [Q, 1, nsub, K]
+        codes[None, :, :, None],  # [1, N, nsub, 1]
+        axis=-1,
+    )[..., 0]  # [Q, N, nsub]
+    return adc_finish(gathered.sum(-1), metric)
+
+
+# ---------------------------------------------------------------------------
+# QuantizedHnsw
+
+
+class QuantizedHnsw:
+    """Two-level PQ index (reference: QuantizedHnsw, src/pq.rs:120-411)."""
+
+    def __init__(
+        self,
+        quantizer: HnswQuantizer,
+        hnsw: Hnsw,
+        full_source: DenseSource,
+    ):
+        self.quantizer = quantizer
+        self.hnsw = hnsw  # graph over PqSource codes
+        self.full_source = full_source
+
+    # constructor (reference: QuantizedHnsw::new, src/pq.rs:287-344)
+    @classmethod
+    def new(
+        cls,
+        number_of_centroids: int,
+        full_source: DenseSource,
+        dsub: int,
+        metric: Metric,
+        pqp: Optional[PqBuildParams] = None,
+        seed: int = 0,
+        use_kmeans: bool = False,
+        exact_quantize: bool = False,
+        chunk_size: int = 100_000,
+        progress: Optional[ProgressMonitor] = None,
+        verbose: bool = False,
+    ) -> "QuantizedHnsw":
+        pqp = pqp or PqBuildParams()
+        monitor = ensure_monitor(progress)
+        monitor.update({"type": "pq"})
+
+        dim = full_source.dim
+        assert dim % dsub == 0
+        nsub = dim // dsub
+
+        if use_kmeans:
+            centroids = kmeans_centroids(
+                full_source.vectors, number_of_centroids, dsub, seed=seed
+            )
+        else:
+            centroids = random_centroids(
+                full_source.vectors, number_of_centroids, dsub, seed=seed
+            )
+        monitor.alive()
+
+        centroid_source = DenseSource(vectors=jnp.asarray(centroids))
+        centroid_hnsw = Hnsw.generate(
+            centroid_source, None, pqp.centroids, metric, seed=seed,
+            progress=monitor, verbose=verbose,
+        )
+        centroid_hnsw.improve_index(pqp.centroids, progress=monitor)
+        quantizer = HnswQuantizer(centroid_hnsw, nsub, pqp)
+
+        # quantize the corpus in streaming chunks (reference: vector_chunks,
+        # src/pq.rs:325-334)
+        codes = []
+        n = full_source.count
+        for start in range(0, n, chunk_size):
+            monitor.alive()
+            chunk = full_source.vectors[start : start + chunk_size]
+            codes.append(quantizer.quantize(chunk, exact=exact_quantize))
+        pq_source = PqSource(
+            codes=jnp.concatenate(codes), codebook=jnp.asarray(centroids)
+        )
+
+        hnsw = Hnsw.generate(
+            pq_source, None, pqp.hnsw, metric, seed=seed, progress=monitor,
+            verbose=verbose,
+        )
+        return cls(quantizer, hnsw, full_source)
+
+    @property
+    def vector_count(self) -> int:
+        return self.hnsw.vector_count
+
+    def centroid_hnsw(self) -> Hnsw:
+        return self.quantizer.hnsw
+
+    def search(
+        self,
+        queries: jax.Array,
+        sp: Optional[SearchParams] = None,
+        rerank: bool = True,
+        exact_quantize: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Quantize the query, search the code graph, exact-rerank
+        (reference: src/pq.rs:346-364)."""
+        sp = sp or self.hnsw.build_parameters.optimization.search
+        qcodes = self.quantizer.quantize(queries, exact=exact_quantize)
+        qrecon = self.quantizer.reconstruct(qcodes)
+        ids, dists = self.hnsw.search(qrecon, sp)
+        if not rerank:
+            return ids, dists
+        # exact rerank of every returned candidate with the full-precision
+        # vectors, resorted by (distance, id)
+        from parallel_hnsw_tpu.ops.distance import batched_distance
+
+        safe = jnp.clip(ids, 0, self.full_source.count - 1)
+        cand = source_get(self.full_source, safe)
+        d = batched_distance(queries, cand, self.hnsw.metric)
+        d = jnp.where(ids == EMPTY_ID, jnp.inf, d)
+        r_ids, r_d = sort_queue(ids, d)
+        return r_ids, r_d
+
+    # delegates (reference: src/pq.rs:366-410)
+    def improve_index(self, bp: Optional[BuildParams] = None, last_recall=None) -> float:
+        return self.hnsw.improve_index(bp, last_recall)
+
+    def improve_neighbors(self, op: Optional[OptimizationParams] = None, last_recall=None) -> float:
+        return self.hnsw.improve_neighbors(op, last_recall)
+
+    def promote_at_layer(self, layer_from_top: int, bp: Optional[BuildParams] = None) -> bool:
+        return self.hnsw.promote_at_layer(layer_from_top, bp)
+
+    def stochastic_recall(self, op: Optional[OptimizationParams] = None) -> float:
+        return self.hnsw.stochastic_recall(op)
+
+    def threshold_nn(self, threshold: float, probe_depth: int = 2, initial_search_depth=None):
+        return self.hnsw.threshold_nn(threshold, probe_depth, initial_search_depth)
+
+    def zero_neighborhood_size(self) -> int:
+        return self.hnsw.build_parameters.zero_layer_neighborhood_size
+
+    def build_parameters_for_improve_index(self) -> BuildParams:
+        return self.hnsw.build_parameters

@@ -1,0 +1,138 @@
+"""PQ tests mirroring the reference's fixture zoo (src/pq.rs:479-979):
+quantize/reconstruct round-trip, centroid-graph recall, end-to-end recall,
+ADC consistency, k-means."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallel_hnsw_tpu.graph import PqSource, reconstruct, source_get
+from parallel_hnsw_tpu.ops.distance import Metric, pairwise_distance
+from parallel_hnsw_tpu.params import (
+    BuildParams,
+    OptimizationParams,
+    PqBuildParams,
+    SearchParams,
+)
+from parallel_hnsw_tpu.pq import (
+    QuantizedHnsw,
+    adc_lut,
+    adc_scan,
+    kmeans_centroids,
+    random_centroids,
+)
+from parallel_hnsw_tpu.utils.data import random_unit_corpus
+
+SMALL_BP = BuildParams(
+    order=6,
+    neighborhood_size=4,
+    zero_layer_neighborhood_size=8,
+    optimization=OptimizationParams(recall_proportion=1.0),
+)
+PQP = PqBuildParams(
+    centroids=SMALL_BP, hnsw=SMALL_BP, quantized_search=SearchParams(number_of_candidates=32, upper_layer_candidate_count=32)
+)
+
+
+def test_random_centroids_dedup_shape():
+    src = random_unit_corpus(50, 16)
+    cents = random_centroids(src.vectors, 32, 4, seed=0)
+    assert cents.shape[1] == 4
+    assert cents.shape[0] <= 32
+    # no duplicate rows
+    assert len(np.unique(cents, axis=0)) == len(cents)
+
+
+def test_kmeans_reduces_distortion():
+    src = random_unit_corpus(200, 16)
+    subs = np.asarray(src.vectors).reshape(-1, 4)
+    rand = random_centroids(src.vectors, 16, 4, seed=0)
+    km = kmeans_centroids(src.vectors, 16, 4, iters=8, seed=0)
+
+    def distortion(cents):
+        d = np.asarray(
+            pairwise_distance(jnp.asarray(subs), jnp.asarray(cents), Metric.SQUARED_EUCLIDEAN)
+        )
+        return d.min(axis=1).mean()
+
+    assert distortion(km) <= distortion(rand) * 1.05
+
+
+def test_reconstruct_shared_codebook():
+    book = np.random.default_rng(0).normal(size=(8, 4)).astype(np.float32)
+    codes = jnp.asarray([[0, 3], [7, 1]], jnp.int32)
+    out = np.asarray(reconstruct(jnp.asarray(book), codes))
+    np.testing.assert_allclose(out[0], np.concatenate([book[0], book[3]]))
+    np.testing.assert_allclose(out[1], np.concatenate([book[7], book[1]]))
+
+
+@pytest.fixture(scope="module")
+def small_pq():
+    # reference: test_small_pq (src/pq.rs:865-919): 16 = 4x4
+    src = random_unit_corpus(300, 16, seed=11)
+    return QuantizedHnsw.new(
+        number_of_centroids=64,
+        full_source=src,
+        dsub=4,
+        metric=Metric.EUCLIDEAN,
+        pqp=PQP,
+        seed=4,
+        exact_quantize=True,
+    ), src
+
+
+def test_quantize_reconstruct_roundtrip(small_pq):
+    q, src = small_pq
+    vecs = src.vectors[:20]
+    codes = q.quantizer.quantize(vecs, exact=True)
+    recon = q.quantizer.reconstruct(codes)
+    # reconstruction error bounded (random codebook of 64 on unit vectors)
+    err = np.linalg.norm(np.asarray(recon) - np.asarray(vecs), axis=-1)
+    assert err.mean() < 1.0
+
+
+def test_pq_source_distance_uses_reconstruction(small_pq):
+    q, src = small_pq
+    pq_src = q.hnsw.source
+    assert isinstance(pq_src, PqSource)
+    got = np.asarray(source_get(pq_src, jnp.asarray([0, 1], jnp.int32)))
+    want = np.asarray(q.quantizer.reconstruct(pq_src.codes[:2]))
+    np.testing.assert_allclose(got, want)
+
+
+def test_pq_search_with_rerank_recall(small_pq):
+    q, src = small_pq
+    ids, dists = q.search(src.vectors, rerank=True, exact_quantize=True)
+    hits = np.asarray(ids[:, 0]) == np.arange(src.count)
+    recall = hits.mean()
+    assert recall >= 0.9, recall
+    # reranked distances are exact full-precision distances, ascending over
+    # the finite (non-padding) prefix
+    d = np.asarray(dists)
+    diffs = np.diff(d, axis=-1)
+    ok = ~np.isfinite(d[:, 1:]) | (diffs >= -1e-6)
+    assert np.all(ok)
+
+
+def test_adc_matches_reconstructed_distance(small_pq):
+    q, src = small_pq
+    pq_src = q.hnsw.source
+    queries = src.vectors[:8]
+    lut = adc_lut(queries, pq_src.codebook, Metric.EUCLIDEAN)
+    got = np.asarray(adc_scan(lut, pq_src.codes[:50], Metric.EUCLIDEAN))
+    recon = np.asarray(source_get(pq_src, jnp.arange(50)))
+    want = np.asarray(
+        pairwise_distance(queries, jnp.asarray(recon), Metric.EUCLIDEAN)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_adc_matches_cosine(small_pq):
+    q, src = small_pq
+    pq_src = q.hnsw.source
+    queries = src.vectors[:4]
+    lut = adc_lut(queries, pq_src.codebook, Metric.COSINE)
+    got = np.asarray(adc_scan(lut, pq_src.codes[:20], Metric.COSINE))
+    recon = np.asarray(source_get(pq_src, jnp.arange(20)))
+    want = np.asarray(pairwise_distance(queries, jnp.asarray(recon), Metric.COSINE))
+    np.testing.assert_allclose(got, want, atol=1e-4)

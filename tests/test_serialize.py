@@ -78,3 +78,24 @@ def test_pq_source_round_trip(tmp_path):
     assert isinstance(loaded, PqSource)
     np.testing.assert_array_equal(np.asarray(loaded.codes), np.asarray(codes))
     np.testing.assert_array_equal(np.asarray(loaded.codebook), np.asarray(book))
+
+
+def test_quantized_round_trip(tmp_path):
+    from parallel_hnsw_tpu.io import deserialize_quantized_hnsw, serialize_quantized_hnsw
+    from parallel_hnsw_tpu.params import PqBuildParams, SearchParams
+    from parallel_hnsw_tpu.pq import QuantizedHnsw
+
+    bp = BuildParams(
+        order=6, neighborhood_size=4, zero_layer_neighborhood_size=8,
+        optimization=OptimizationParams(recall_proportion=1.0),
+    )
+    pqp = PqBuildParams(centroids=bp, hnsw=bp, quantized_search=SearchParams())
+    src = random_unit_corpus(150, 8, seed=9)
+    q = QuantizedHnsw.new(32, src, 4, Metric.EUCLIDEAN, pqp, seed=1, exact_quantize=True)
+    serialize_quantized_hnsw(q, tmp_path / "pq_idx")
+    loaded = deserialize_quantized_hnsw(tmp_path / "pq_idx")
+    assert loaded.vector_count == q.vector_count
+    assert loaded.quantizer.nsub == q.quantizer.nsub
+    i1, _ = q.search(src.vectors[:10], exact_quantize=True)
+    i2, _ = loaded.search(src.vectors[:10], exact_quantize=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
