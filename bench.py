@@ -1,0 +1,102 @@
+"""Benchmark harness — run on real TPU hardware.
+
+Workload: the reference's own bench (benches/bench.rs:54-63): build a graph
+over ~10k random 100-d unit vectors with the cosine metric, then measure
+batched query throughput at the default operating point (ef=300).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is measured
+against REF_SINGLE_CORE_QPS — an estimate of the Rust reference's single-core
+query throughput on this workload (ef=300, ~3-5k distance evals/query on a
+modern core ≈ 1000 QPS).  The driver-set target is 10x that per chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_SINGLE_CORE_QPS = 1000.0
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--count", type=int, default=10_000)
+    p.add_argument("--dim", type=int, default=100)
+    p.add_argument("--improve", action="store_true", help="run improve_index during build")
+    p.add_argument("--query-block", type=int, default=2048)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    from parallel_hnsw_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax.numpy as jnp
+
+    from parallel_hnsw_tpu.analysis import brute_force_knn
+    from parallel_hnsw_tpu.index import Hnsw
+    from parallel_hnsw_tpu.ops.distance import Metric
+    from parallel_hnsw_tpu.params import BuildParams
+    from parallel_hnsw_tpu.utils.data import random_unit_corpus
+
+    metric = Metric.NORMALIZED_COSINE
+    source = random_unit_corpus(args.count, args.dim, seed=42)
+    bp = BuildParams()
+
+    t0 = time.time()
+    hnsw = Hnsw.generate(source, None, bp, metric, seed=0, improve=args.improve)
+    build_s = time.time() - t0
+    build_rate = args.count / build_s
+
+    queries = source.vectors
+    sp = bp.optimization.search
+
+    # ground truth for recall@10
+    gt_ids, _ = brute_force_knn(source, queries, metric, 10)
+    gt = np.asarray(gt_ids)
+
+    # warmup (compile)
+    ids, dists = hnsw.search(queries, sp, query_block=args.query_block)
+    got = np.asarray(ids[:, :10])
+    inter = np.asarray(
+        [len(np.intersect1d(got[i], gt[i])) for i in range(0, args.count, 97)]
+    )
+    recall_at_10 = float(inter.mean() / 10.0)
+
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.time()
+        out = hnsw.search(queries, sp, query_block=args.query_block)
+        out[0].block_until_ready()
+        best = min(best, time.time() - t0)
+    qps = args.count / best
+
+    print(
+        f"# build: {build_s:.1f}s ({build_rate:.0f} vec/s, improve={args.improve}); "
+        f"recall@10={recall_at_10:.4f}; layers={[l.node_count for l in hnsw.layers]}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"QPS/chip, bench.rs workload ({args.count}x{args.dim} cosine, "
+                    f"ef={sp.number_of_candidates}, recall@10={recall_at_10:.4f}, "
+                    f"build={build_rate:.0f} vec/s)"
+                ),
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / REF_SINGLE_CORE_QPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Multi-chip sharded index: SPMD search over a device mesh.
+
+The reference is a single-process shared-memory library (rayon threads,
+/root/reference/Cargo.toml:19) — it has no distributed story.  The TPU-native
+scale-out axis is *corpus size*: the corpus is sharded across a
+``jax.sharding.Mesh`` axis, each device owns a full HNSW over its shard, and a
+query fans out to every shard's batched beam search followed by a cross-shard
+top-k merge over ICI (``all_gather`` of per-shard candidate queues).  Build is
+embarrassingly parallel per shard; no cross-shard pointer chasing ever
+happens, so collectives ride ICI once per query batch rather than once per
+hop.  This matches BASELINE.md's 100M-vectors-across-a-mesh configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
+from parallel_hnsw_tpu.graph import DenseSource, Layer, Source
+from parallel_hnsw_tpu.index import Hnsw
+from parallel_hnsw_tpu.ops.distance import Metric
+from parallel_hnsw_tpu.ops.queues import sort_queue
+from parallel_hnsw_tpu.params import BuildParams, SearchParams
+from parallel_hnsw_tpu.search import search_stack
+
+
+def default_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+class ShardedHnsw:
+    """A corpus sharded over a mesh axis, one HNSW per shard.
+
+    ``layers_stacked``: per ladder level, (nodes [S, N], neighbors [S, N, M]).
+    ``vectors``: [S, N_shard, D]; ``global_ids``: [S, N_shard] mapping local
+    vector ids to corpus ids (EMPTY_ID for padding rows).
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        layers_stacked: List[Layer],
+        vectors: jax.Array,
+        global_ids: jax.Array,
+        metric: Metric,
+        build_parameters: BuildParams,
+    ):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.layers_stacked = layers_stacked
+        self.vectors = vectors
+        self.global_ids = global_ids
+        self.metric = Metric(metric)
+        self.build_parameters = build_parameters
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def generate(
+        cls,
+        source: DenseSource,
+        mesh: Mesh,
+        bp: Optional[BuildParams] = None,
+        metric: Metric = Metric.COSINE,
+        seed: int = 0,
+        improve: bool = True,
+        verbose: bool = False,
+    ) -> "ShardedHnsw":
+        """Partition the corpus round-robin over shards and build one HNSW per
+        shard.  Shards are padded to equal size by repeating the last vector
+        (padding rows get EMPTY global ids and are masked from results)."""
+        bp = bp or BuildParams()
+        n_shards = mesh.devices.size
+        count = source.count
+        per = -(-count // n_shards)  # ceil
+        vecs = np.asarray(source.vectors)
+
+        shard_vectors = np.zeros((n_shards, per, vecs.shape[1]), np.float32)
+        shard_gids = np.full((n_shards, per), EMPTY_ID, np.int32)
+        shard_hnsws: List[Hnsw] = []
+        for s in range(n_shards):
+            ids = np.arange(s, count, n_shards)
+            pad = per - len(ids)
+            if pad:
+                ids = np.concatenate([ids, np.repeat(ids[-1:], pad)])
+            shard_vectors[s] = vecs[ids]
+            shard_gids[s, : per - pad] = ids[: per - pad]
+            sub_source = DenseSource(vectors=jnp.asarray(shard_vectors[s]))
+            # local vector ids are 0..per (padding rows are *duplicates* of the
+            # last real vector: harmless graph members, masked at query time);
+            # dedup in generate_layer tolerates them.
+            local_ids = jnp.arange(per - pad, dtype=ID_DTYPE)
+            h = Hnsw.generate(
+                sub_source, local_ids, bp, metric, seed=seed + s, improve=improve,
+                verbose=verbose,
+            )
+            shard_hnsws.append(h)
+
+        layer_counts = {h.layer_count for h in shard_hnsws}
+        if len(layer_counts) != 1:
+            # promotions may skew ladders between shards; re-level by rebuilding
+            # the taller stacks without improvement is complex — instead pad
+            # missing top levels by replicating each shard's current top.
+            max_lc = max(layer_counts)
+            for i, h in enumerate(shard_hnsws):
+                while h.layer_count < max_lc:
+                    h.layers.insert(0, h.layers[0])
+        # equalize per-level shapes across shards by padding nodes/neighbors
+        stacked: List[Layer] = []
+        for lvl in range(shard_hnsws[0].layer_count):
+            n_max = max(h.layers[lvl].node_count for h in shard_hnsws)
+            m_max = max(h.layers[lvl].neighborhood_size for h in shard_hnsws)
+            nodes = np.full((n_shards, n_max), EMPTY_ID, np.int32)
+            neigh = np.full((n_shards, n_max, m_max), EMPTY_ID, np.int32)
+            for s, h in enumerate(shard_hnsws):
+                l = h.layers[lvl]
+                nodes[s, : l.node_count] = np.asarray(l.nodes)
+                neigh[s, : l.node_count, : l.neighborhood_size] = np.asarray(l.neighbors)
+            stacked.append(Layer(nodes=jnp.asarray(nodes), neighbors=jnp.asarray(neigh)))
+
+        out = cls(
+            mesh,
+            stacked,
+            jnp.asarray(shard_vectors),
+            jnp.asarray(shard_gids),
+            metric,
+            bp,
+        )
+        out.place()
+        return out
+
+    def place(self) -> None:
+        """Shard the stacked arrays over the mesh axis."""
+        ax = self.axis
+
+        def put(x, spec):
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        self.vectors = put(self.vectors, P(ax, None, None))
+        self.global_ids = put(self.global_ids, P(ax, None))
+        self.layers_stacked = [
+            Layer(
+                nodes=put(l.nodes, P(ax, None)),
+                neighbors=put(l.neighbors, P(ax, None, None)),
+            )
+            for l in self.layers_stacked
+        ]
+
+    # -- query ---------------------------------------------------------------
+
+    def search(
+        self, queries: jax.Array, sp: Optional[SearchParams] = None, k: Optional[int] = None
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Fan out to every shard, merge top-k across shards over ICI."""
+        sp = sp or self.build_parameters.optimization.search
+        k = k or sp.number_of_candidates
+        flat = []
+        for l in self.layers_stacked:
+            flat.extend([l.nodes, l.neighbors])
+        return _sharded_search_jit(
+            self.mesh,
+            self.axis,
+            tuple(flat),
+            self.vectors,
+            self.global_ids,
+            queries,
+            self.metric,
+            sp,
+            len(self.layers_stacked),
+            k,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "metric", "sp", "layer_count", "k"),
+)
+def _sharded_search_jit(
+    mesh: Mesh,
+    axis: str,
+    layers_flat: Tuple[jax.Array, ...],
+    vectors: jax.Array,
+    global_ids: jax.Array,
+    queries: jax.Array,
+    metric: Metric,
+    sp: SearchParams,
+    layer_count: int,
+    k: int,
+):
+    ax = axis
+
+    def per_shard(layers_flat, vectors, global_ids, queries):
+        # leading shard dim is 1 inside shard_map
+        layers = [
+            Layer(layers_flat[2 * i][0], layers_flat[2 * i + 1][0])
+            for i in range(layer_count)
+        ]
+        local = DenseSource(vectors=vectors[0])
+        gids = global_ids[0]
+        ids, dists, _, _ = search_stack(layers, local, metric, queries, sp)
+        # local → global ids; padding rows map to EMPTY and are dropped
+        safe = jnp.clip(ids, 0, gids.shape[0] - 1)
+        g = jnp.where(ids == EMPTY_ID, EMPTY_ID, jnp.take(gids, safe))
+        dists = jnp.where(g == EMPTY_ID, EMPTY_DIST, dists)
+        g, dists = sort_queue(g, dists)
+        g = g[:, :k]
+        dists = dists[:, :k]
+        # cross-shard top-k merge: all_gather candidate queues over ICI
+        all_g = jax.lax.all_gather(g, ax)  # [S, Q, k]
+        all_d = jax.lax.all_gather(dists, ax)
+        s, q, kk = all_g.shape
+        all_g = jnp.moveaxis(all_g, 0, 1).reshape(q, s * kk)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q, s * kk)
+        m_ids, m_d = sort_queue(all_g, all_d)
+        return m_ids[:, :k], m_d[:, :k]
+
+    specs = []
+    for _ in range(layer_count):
+        specs.extend([P(ax, None), P(ax, None, None)])
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(tuple(specs), P(ax, None, None), P(ax, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(layers_flat, vectors, global_ids, queries)

@@ -1,0 +1,63 @@
+"""Sharded multi-device tests on the 8-virtual-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallel_hnsw_tpu.analysis import brute_force_knn
+from parallel_hnsw_tpu.constants import EMPTY_ID
+from parallel_hnsw_tpu.ops.distance import Metric
+from parallel_hnsw_tpu.params import BuildParams, OptimizationParams, SearchParams
+from parallel_hnsw_tpu.parallel import ShardedHnsw, default_mesh
+from parallel_hnsw_tpu.utils.data import random_unit_corpus
+
+BP = BuildParams(
+    order=6,
+    neighborhood_size=4,
+    zero_layer_neighborhood_size=8,
+    optimization=OptimizationParams(recall_proportion=1.0),
+)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.fixture(scope="module")
+def sharded():
+    source = random_unit_corpus(410, 16, seed=13)  # not divisible by 8 → padding
+    mesh = default_mesh()
+    sh = ShardedHnsw.generate(source, mesh, BP, Metric.NORMALIZED_COSINE, seed=0)
+    return source, sh
+
+
+def test_sharded_recall_vs_bruteforce(sharded):
+    source, sh = sharded
+    queries = source.vectors
+    ids, dists = sh.search(queries, k=10)
+    gt_ids, _ = brute_force_knn(source, queries, Metric.NORMALIZED_COSINE, 1)
+    got_top = np.asarray(ids[:, 0])
+    want_top = np.asarray(gt_ids[:, 0])
+    recall = (got_top == want_top).mean()
+    assert recall >= 0.97, recall
+
+
+def test_sharded_no_padding_leak(sharded):
+    source, sh = sharded
+    ids, dists = sh.search(source.vectors[:16], k=50)
+    got = np.asarray(ids)
+    valid = got[got != EMPTY_ID]
+    assert valid.min() >= 0 and valid.max() < source.count
+
+
+def test_sharded_sorted_and_unique(sharded):
+    source, sh = sharded
+    ids, dists = sh.search(source.vectors[:8], k=20)
+    d = np.asarray(dists)
+    i = np.asarray(ids)
+    for row_i, row_d in zip(i, d):
+        fin = np.isfinite(row_d)
+        assert np.all(np.diff(row_d[fin]) >= -1e-6)
+        real = row_i[row_i != EMPTY_ID]
+        assert len(np.unique(real)) == len(real)
