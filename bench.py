@@ -28,7 +28,13 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--count", type=int, default=10_000)
     p.add_argument("--dim", type=int, default=100)
-    p.add_argument("--improve", action="store_true", help="run improve_index during build")
+    p.add_argument(
+        "--no-improve",
+        dest="improve",
+        action="store_false",
+        help="skip improve_index / relink during build",
+    )
+    p.add_argument("--probe-depth", type=int, default=8)
     p.add_argument("--query-block", type=int, default=2048)
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
@@ -55,7 +61,7 @@ def main() -> None:
     build_rate = args.count / build_s
 
     queries = source.vectors
-    sp = bp.optimization.search
+    sp = bp.optimization.search.replace(probe_depth=args.probe_depth)
 
     # ground truth for recall@10
     gt_ids, _ = brute_force_knn(source, queries, metric, 10)

@@ -131,8 +131,11 @@ def _build_rows(
     (reference: src/lib.rs:748-786)."""
     n = vs.shape[0]
     own_vecs = source_get(source, vs)  # [N, D]
-    cand_vecs = source_get(source, node_to_vec(vs, cand))  # [N, C, D]
+    cand_vec_ids = node_to_vec(vs, cand)
+    cand_vecs = source_get(source, cand_vec_ids)  # [N, C, D]
     d = batched_distance(own_vecs, cand_vecs, metric)
+    # mask empty picks and picks that landed on node-bucket padding rows
+    cand = jnp.where(cand_vec_ids == EMPTY_ID, EMPTY_ID, cand)
     d = jnp.where(cand != EMPTY_ID, d, EMPTY_DIST)
 
     all_ids = jnp.concatenate([seed_nodes, cand], axis=-1)
@@ -144,6 +147,10 @@ def _build_rows(
 
     s_ids, s_d = sort_queue(all_ids, all_d)
     u_ids, u_d = dedup_sorted(s_ids, s_d)
+    # padding rows (vs == EMPTY) emit no edges
+    row_valid = (vs != EMPTY_ID)[:, None]
+    u_ids = jnp.where(row_valid, u_ids, EMPTY_ID)
+    u_d = jnp.where(row_valid, u_d, EMPTY_DIST)
     return u_ids[:, :m], u_d[:, :m]
 
 

@@ -136,6 +136,43 @@ def node_to_vec(nodes: jax.Array, nids: jax.Array) -> jax.Array:
     return jnp.where(nids == EMPTY_ID, EMPTY_ID, out).astype(ID_DTYPE)
 
 
+def node_bucket(n: int) -> int:
+    """Round a node count up to a shape bucket (1x / 1.5x powers of two) so
+    layers whose sizes drift (promotions, different corpora) reuse compiled
+    programs.  Padding rows hold EMPTY nodes with all-EMPTY neighbor rows —
+    unreachable by construction, so search treats them as inert."""
+    if n <= 16:
+        return 16
+    p = 16
+    while True:
+        for b in (p, p + p // 2):
+            if n <= b:
+                return b
+        p *= 2
+
+
+def pad_layer(layer: Layer, bucket: int | None = None) -> Layer:
+    """Pad a layer's arrays up to a node bucket with EMPTY sentinels."""
+    n, m = layer.neighbors.shape
+    b = bucket if bucket is not None else node_bucket(n)
+    if b == n:
+        return layer
+    pad = b - n
+    nodes = jnp.concatenate([layer.nodes, jnp.full((pad,), EMPTY_ID, ID_DTYPE)])
+    neighbors = jnp.concatenate(
+        [layer.neighbors, jnp.full((pad, m), EMPTY_ID, ID_DTYPE)]
+    )
+    return Layer(nodes=nodes, neighbors=neighbors)
+
+
+def valid_node_count(nodes) -> int:
+    """Number of real (non-padding) nodes in a possibly padded nodes array."""
+    import numpy as np
+
+    arr = np.asarray(nodes)
+    return int(np.searchsorted(arr, EMPTY_ID))
+
+
 def make_layer(nodes, neighbors) -> Layer:
     return Layer(
         nodes=jnp.asarray(nodes, ID_DTYPE), neighbors=jnp.asarray(neighbors, ID_DTYPE)

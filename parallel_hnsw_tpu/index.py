@@ -88,6 +88,13 @@ class Hnsw:
 
         layers = _build.generate(source, vector_ids, bp, metric, seed, improver)
         self_ref.layers = layers
+        if improve and bp.final_relink_sweeps > 0:
+            for _ in range(bp.final_relink_sweeps):
+                monitor.alive()
+                for lft in range(self_ref.layer_count):
+                    self_ref.layers, _ = _optimize.link_layer_to_better_neighbors(
+                        self_ref.layers, lft, source, metric, bp.optimization.search
+                    )
         return self_ref
 
     def _log(self, msg: str) -> None:

@@ -56,9 +56,11 @@ def _relink_layer_jit(
     nodes, neighbors = layer.nodes, layer.neighbors
     n, m = neighbors.shape
 
+    valid = nodes != EMPTY_ID  # padding rows must not emit edges
     queries = source_get(source, nodes)
     res_ids, res_d, _, _ = search_stack(layers, source, metric, queries, sp, exclude=nodes)
     match_nodes = vec_to_node(nodes, res_ids[:, :match_count])  # [N, K]
+    match_nodes = jnp.where(valid[:, None], match_nodes, EMPTY_ID)
     match_d = jnp.where(match_nodes == EMPTY_ID, EMPTY_DIST, res_d[:, :match_count])
 
     # recompute current row distances (rows store ids only — the reference
@@ -83,9 +85,12 @@ def _relink_layer_jit(
 
 
 def _flatten_stack(layers: Sequence[Layer]) -> Tuple[jax.Array, ...]:
+    from parallel_hnsw_tpu.graph import pad_layer
+
     flat: List[jax.Array] = []
     for l in layers:
-        flat.extend([l.nodes, l.neighbors])
+        pl = pad_layer(l)
+        flat.extend([pl.nodes, pl.neighbors])
     return tuple(flat)
 
 
@@ -104,7 +109,10 @@ def link_layer_to_better_neighbors(
     new_neighbors, changed = _relink_layer_jit(
         _flatten_stack(stack), source, metric, sp, len(stack), match_count
     )
-    new_layer = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
+    # strip node-bucket padding rows back off
+    new_layer = Layer(
+        nodes=stack[-1].nodes, neighbors=new_neighbors[: stack[-1].node_count]
+    )
     out = list(layers)
     out[layer_from_top] = new_layer
     return out, int(changed)

@@ -237,6 +237,33 @@ def _search_stack_jit(
     return search_stack(layers, source, metric, queries, sp, exclude)
 
 
+def _query_bucket(q: int) -> int:
+    """Round a query count up to a shape bucket (1-2-3 x powers of two) so
+    varying batch sizes reuse compiled programs."""
+    if q <= 16:
+        return 16
+    p = 16
+    while True:
+        for b in (p, p + p // 2):  # 16, 24, 32, 48, 64, 96, ...
+            if q <= b:
+                return b
+        p *= 2
+
+
+def _run_block(flat, source, metric, queries, sp, exclude, layer_count):
+    q = queries.shape[0]
+    b = _query_bucket(q)
+    if b != q:
+        pad = b - q
+        queries = jnp.concatenate([queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)])
+        if exclude is not None:
+            exclude = jnp.concatenate([exclude, jnp.full((pad,), EMPTY_ID, ID_DTYPE)])
+    ids, dists, hops, evals = _search_stack_jit(
+        flat, source, metric, queries, sp, exclude, layer_count
+    )
+    return ids[:q], dists[:q]
+
+
 def search(
     layers: Sequence[Layer],
     source: Source,
@@ -250,26 +277,27 @@ def search(
 
     ``query_block`` bounds device memory for huge query batches (the gathered
     candidate block is ``[Q, beam*M, D]``); 0 = single launch.
+
+    Layers are padded to node-count buckets and queries to batch buckets so
+    drifting shapes (promotions, recall samples) reuse compiled programs.
     """
+    from parallel_hnsw_tpu.graph import pad_layer
+
     flat = []
     for l in layers:
-        flat.extend([l.nodes, l.neighbors])
+        pl = pad_layer(l)
+        flat.extend([pl.nodes, pl.neighbors])
     flat = tuple(flat)
 
     if query_block <= 0 or queries.shape[0] <= query_block:
-        ids, dists, _, _ = _search_stack_jit(
-            flat, source, metric, queries, sp, exclude, len(layers)
-        )
-        return ids, dists
+        return _run_block(flat, source, metric, queries, sp, exclude, len(layers))
 
     outs = []
     for start in range(0, queries.shape[0], query_block):
         stop = min(start + query_block, queries.shape[0])
         ex = exclude[start:stop] if exclude is not None else None
         outs.append(
-            _search_stack_jit(
-                flat, source, metric, queries[start:stop], sp, ex, len(layers)
-            )[:2]
+            _run_block(flat, source, metric, queries[start:stop], sp, ex, len(layers))
         )
     ids = jnp.concatenate([o[0] for o in outs], axis=0)
     dists = jnp.concatenate([o[1] for o in outs], axis=0)

@@ -17,3 +17,7 @@ import jax  # noqa: E402
 # initialized lazily, so forcing the platform via config still works here.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+from parallel_hnsw_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
