@@ -18,6 +18,7 @@ import numpy as np
 from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
 from parallel_hnsw_tpu.graph import Layer, Source, source_get, vec_to_node
 from parallel_hnsw_tpu.ops.distance import Metric, pairwise_distance
+from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
 from parallel_hnsw_tpu.params import SearchParams
 from parallel_hnsw_tpu.search import search
 
@@ -30,7 +31,7 @@ def brute_force_knn(
     vecs = source_get(source, jnp.arange(source.count))
     for start in range(0, queries.shape[0], query_block):
         q = queries[start : start + query_block]
-        d = pairwise_distance(q, vecs, metric)
+        d = best_pairwise_distance(q, vecs, metric)
         neg_d, idx = jax.lax.top_k(-d, k)
         outs_i.append(idx)
         outs_d.append(-neg_d)

@@ -30,6 +30,7 @@ from parallel_hnsw_tpu.constants import EMPTY_ID, ID_DTYPE
 from parallel_hnsw_tpu.graph import DenseSource, PqSource, reconstruct, source_get
 from parallel_hnsw_tpu.index import Hnsw
 from parallel_hnsw_tpu.ops.distance import Metric, pairwise_distance
+from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
 from parallel_hnsw_tpu.ops.queues import sort_queue
 from parallel_hnsw_tpu.params import (
     BuildParams,
@@ -124,7 +125,7 @@ class HnswQuantizer:
         b = vecs.shape[0]
         subs = vecs.reshape(b * self.nsub, self.dsub)
         if exact:
-            d = pairwise_distance(subs, self.centroids, self.hnsw.metric)
+            d = best_pairwise_distance(subs, self.centroids, self.hnsw.metric)
             codes = jnp.argmin(d, axis=-1)
         else:
             sp = self.pq_params.quantized_search

@@ -49,26 +49,20 @@ def _auto_max_hops(cap: int, max_hops: int) -> int:
     return max_hops if max_hops > 0 else cap
 
 
-def search_one_layer(
+def _layer_step_fns(
     layer: Layer,
     source: Source,
     metric: Metric,
-    queries: jax.Array,  # [Q, D]
-    init_ids: jax.Array,  # [Q, cap] node ids
-    init_dists: jax.Array,  # [Q, cap]
-    *,
-    probe_depth: int,
+    queries: jax.Array,
+    cap: int,
     beam_width: int,
     max_hops: int,
-) -> LayerSearchState:
-    """Expand candidate queues inside one layer until convergence.
-
-    Equivalent of `Layer::closest_nodes` (src/lib.rs:175-248), batched.
-    """
-    q_count, cap = init_ids.shape
+):
+    """Build the (cond, body) of the per-layer expansion loop; shared by the
+    one-shot in-jit search and the resumable host-driven advance."""
+    q_count = queries.shape[0]
     n, m = layer.neighbors.shape
     b = min(beam_width, cap)
-    max_hops = _auto_max_hops(cap, max_hops)
 
     slot_pos = jnp.arange(cap, dtype=jnp.int32)
 
@@ -103,7 +97,10 @@ def search_one_layer(
         flat_ids = jnp.where(valid, flat_nodes, EMPTY_ID)
         evals = evals + jnp.sum(valid.astype(jnp.int32))
 
-        # --- merge into queues
+        # --- merge into queues.  NOTE: a hand-rolled bitonic merge network
+        # (ops/bitonic.py) measured ~3x SLOWER than XLA's full lax.sort here —
+        # reshape-based compare-exchange at small strides is lane-hostile on
+        # TPU — so the sort-based merge stays until a Pallas kernel replaces it.
         ids, dists, expanded, changed = merge_queue_with_flags(
             ids, dists, expanded, flat_ids, d
         )
@@ -117,6 +114,30 @@ def search_one_layer(
         done = done | newly_done
         return LayerSearchState(ids, dists, expanded, probes, done, hops + 1, evals)
 
+    return cond, body
+
+
+def search_one_layer(
+    layer: Layer,
+    source: Source,
+    metric: Metric,
+    queries: jax.Array,  # [Q, D]
+    init_ids: jax.Array,  # [Q, cap] node ids
+    init_dists: jax.Array,  # [Q, cap]
+    *,
+    probe_depth: int,
+    beam_width: int,
+    max_hops: int,
+) -> LayerSearchState:
+    """Expand candidate queues inside one layer until convergence.
+
+    Equivalent of `Layer::closest_nodes` (src/lib.rs:175-248), batched.
+    """
+    q_count, cap = init_ids.shape
+    max_hops = _auto_max_hops(cap, max_hops)
+    cond, body = _layer_step_fns(
+        layer, source, metric, queries, cap, beam_width, max_hops
+    )
     init = LayerSearchState(
         ids=init_ids,
         dists=init_dists,
@@ -127,6 +148,125 @@ def search_one_layer(
         evals=jnp.zeros((), jnp.int32),
     )
     return jax.lax.while_loop(cond, body, init)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "beam_width", "chunk_hops", "probe_depth")
+)
+def _advance_layer_jit(
+    nodes,
+    neighbors,
+    source,
+    queries,
+    ids,
+    dists,
+    expanded,
+    probes,
+    done,
+    metric: Metric,
+    beam_width: int,
+    chunk_hops: int,
+    probe_depth: int,
+):
+    """Run up to ``chunk_hops`` expansion hops from a resumable state."""
+    layer = Layer(nodes, neighbors)
+    cap = ids.shape[-1]
+    cond, body = _layer_step_fns(
+        layer, source, metric, queries, cap, beam_width, chunk_hops
+    )
+    state = LayerSearchState(
+        ids, dists, expanded, probes, done, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+    )
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _host_layer_search(
+    layer: Layer,
+    source: Source,
+    metric: Metric,
+    queries: jax.Array,
+    init_ids: jax.Array,
+    init_dists: jax.Array,
+    sp: SearchParams,
+    chunk_hops: int = 16,
+):
+    """Host-driven layer search with convergence-tail compaction.
+
+    The in-jit while loop runs the whole batch in lockstep until the SLOWEST
+    query converges — typically ~5x more hops than the median needs.  Here the
+    loop is chunked: every ``chunk_hops`` hops, converged queries retire to the
+    output and the remainder is compacted into a smaller (bucketed) batch, so
+    stragglers stop taxing the finished majority.
+    """
+    q = queries.shape[0]
+    cap = init_ids.shape[-1]
+    max_hops = _auto_max_hops(cap, sp.max_hops)
+
+    out_ids = jnp.full((q, cap), EMPTY_ID, ID_DTYPE)
+    out_dists = jnp.full((q, cap), EMPTY_DIST, jnp.float32)
+
+    import numpy as np
+
+    active = np.arange(q)
+    act_queries = queries
+    ids, dists = init_ids, init_dists
+    expanded = jnp.zeros((q, cap), jnp.int32)
+    probes = jnp.full((q,), sp.probe_depth, jnp.int32)
+    done = ~jnp.any(init_ids != EMPTY_ID, axis=-1)
+    hops_used = 0
+
+    while True:
+        state = _advance_layer_jit(
+            layer.nodes,
+            layer.neighbors,
+            source,
+            act_queries,
+            ids,
+            dists,
+            expanded,
+            probes,
+            done,
+            metric,
+            sp.beam_width,
+            chunk_hops,
+            sp.probe_depth,
+        )
+        hops_used += int(state.hops)
+        n_act = len(active)
+        done_np = np.asarray(state.done)[:n_act]
+        if hops_used >= max_hops:
+            done_np = np.ones_like(done_np)
+        fin = np.nonzero(done_np)[0]
+        if len(fin):
+            fin_j = jnp.asarray(fin, ID_DTYPE)
+            out_ids = out_ids.at[jnp.asarray(active[fin], ID_DTYPE)].set(
+                jnp.take(state.ids, fin_j, axis=0)
+            )
+            out_dists = out_dists.at[jnp.asarray(active[fin], ID_DTYPE)].set(
+                jnp.take(state.dists, fin_j, axis=0)
+            )
+        keep = np.nonzero(~done_np)[0]
+        if len(keep) == 0:
+            break
+        active = active[keep]
+        b = _query_bucket(len(keep))
+        pad = b - len(keep)
+        keep_j = jnp.asarray(keep, ID_DTYPE)
+
+        def take_pad(arr, fill, dtype=None):
+            sub = jnp.take(arr, keep_j, axis=0)
+            if pad:
+                pad_block = jnp.full((pad,) + sub.shape[1:], fill, sub.dtype)
+                sub = jnp.concatenate([sub, pad_block])
+            return sub
+
+        act_queries = take_pad(act_queries if act_queries.shape[0] == n_act else act_queries[:n_act], 0.0)
+        ids = take_pad(state.ids[:n_act], EMPTY_ID)
+        dists = take_pad(state.dists[:n_act], EMPTY_DIST)
+        expanded = take_pad(state.expanded[:n_act], 0)
+        probes = take_pad(state.probes[:n_act], 0)
+        done = take_pad(state.done[:n_act], True)
+    return out_ids, out_dists
 
 
 def _entry_seed(
@@ -221,6 +361,92 @@ def search_stack(
     return cand_ids, cand_dists, total_hops, total_evals
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _enter_layer_jit(nodes, cand_ids, cand_dists):
+    node_ids = vec_to_node(nodes, cand_ids)
+    node_dists = jnp.where(node_ids == EMPTY_ID, EMPTY_DIST, cand_dists)
+    q = cand_ids.shape[0]
+    cap = cand_ids.shape[1]
+    init_ids, init_dists, _ = merge_queue(
+        *empty_queue(cap, (q,)), node_ids, node_dists
+    )
+    return init_ids, init_dists
+
+
+@functools.partial(jax.jit, static_argnames=("out_count", "has_exclude"))
+def _exit_layer_jit(
+    nodes, found_ids, found_dists, cand_ids, cand_dists, exclude, out_count: int,
+    has_exclude: bool,
+):
+    found_vecs = node_to_vec(nodes, found_ids)
+    fd = found_dists
+    if has_exclude:
+        drop = found_vecs == exclude[:, None]
+        found_vecs = jnp.where(drop, EMPTY_ID, found_vecs)
+        fd = jnp.where(drop, EMPTY_DIST, fd)
+    if out_count < found_vecs.shape[-1]:
+        found_vecs = found_vecs[:, :out_count]
+        fd = fd[:, :out_count]
+    out_ids, out_dists, _ = merge_queue(cand_ids, cand_dists, found_vecs, fd)
+    return out_ids, out_dists
+
+
+@functools.partial(jax.jit, static_argnames=("has_exclude",))
+def _final_exclude_jit(cand_ids, cand_dists, exclude, has_exclude: bool):
+    if has_exclude:
+        drop = cand_ids == exclude[:, None]
+        cand_ids = jnp.where(drop, EMPTY_ID, cand_ids)
+        cand_dists = jnp.where(drop, EMPTY_DIST, cand_dists)
+        cand_ids, cand_dists = sort_queue(cand_ids, cand_dists)
+    return cand_ids, cand_dists
+
+
+def search_host(
+    layers: Sequence[Layer],
+    source: Source,
+    metric: Metric,
+    queries: jax.Array,
+    sp: SearchParams,
+    exclude: Optional[jax.Array] = None,
+    chunk_hops: int = 16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Host-driven layer-stack descent with convergence-tail compaction.
+
+    Same semantics as :func:`search_stack`; the layer loop runs on the host so
+    each layer's expansion can retire converged queries between hop chunks.
+    """
+    from parallel_hnsw_tpu.graph import pad_layer
+
+    noc = sp.number_of_candidates
+    ulcc = sp.upper_layer_candidate_count
+    padded = [pad_layer(l) for l in layers]
+
+    cand_ids, cand_dists = _entry_seed(padded, source, metric, queries, noc)
+    for i, layer in enumerate(padded):
+        is_bottom = i == len(padded) - 1 or len(padded) == 1
+        out_count = noc if is_bottom else ulcc
+        init_ids, init_dists = _enter_layer_jit(layer.nodes, cand_ids, cand_dists)
+        found_ids, found_dists = _host_layer_search(
+            layer, source, metric, queries, init_ids, init_dists, sp, chunk_hops
+        )
+        cand_ids, cand_dists = _exit_layer_jit(
+            layer.nodes,
+            found_ids,
+            found_dists,
+            cand_ids,
+            cand_dists,
+            exclude if exclude is not None else jnp.zeros((queries.shape[0],), ID_DTYPE),
+            out_count,
+            exclude is not None,
+        )
+    return _final_exclude_jit(
+        cand_ids,
+        cand_dists,
+        exclude if exclude is not None else jnp.zeros((queries.shape[0],), ID_DTYPE),
+        exclude is not None,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("metric", "sp", "layer_count")
 )
@@ -250,7 +476,7 @@ def _query_bucket(q: int) -> int:
         p *= 2
 
 
-def _run_block(flat, source, metric, queries, sp, exclude, layer_count):
+def _run_block(flat, source, metric, queries, sp, exclude, layer_count, layers=None):
     q = queries.shape[0]
     b = _query_bucket(q)
     if b != q:
@@ -258,9 +484,12 @@ def _run_block(flat, source, metric, queries, sp, exclude, layer_count):
         queries = jnp.concatenate([queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)])
         if exclude is not None:
             exclude = jnp.concatenate([exclude, jnp.full((pad,), EMPTY_ID, ID_DTYPE)])
-    ids, dists, hops, evals = _search_stack_jit(
-        flat, source, metric, queries, sp, exclude, layer_count
-    )
+    if layers is not None:
+        ids, dists = search_host(layers, source, metric, queries, sp, exclude)
+    else:
+        ids, dists, hops, evals = _search_stack_jit(
+            flat, source, metric, queries, sp, exclude, layer_count
+        )
     return ids[:q], dists[:q]
 
 
@@ -272,11 +501,16 @@ def search(
     sp: SearchParams,
     exclude: Optional[jax.Array] = None,
     query_block: int = 0,
+    adaptive: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Jitted multi-layer search with optional host-side query chunking.
+    """Multi-layer search with optional host-side query chunking.
 
     ``query_block`` bounds device memory for huge query batches (the gathered
-    candidate block is ``[Q, beam*M, D]``); 0 = single launch.
+    candidate block is ``[Q, beam*M, D]``); 0 = single launch.  ``adaptive``
+    enables the host-driven convergence-tail compaction path — measured SLOWER
+    on the tunneled single-chip runtime (host dispatch latency dominates the
+    tail savings: 1.2k vs 2.8k qps) but kept for low-latency local runtimes;
+    the default is the single fully-jitted lockstep program.
 
     Layers are padded to node-count buckets and queries to batch buckets so
     drifting shapes (promotions, recall samples) reuse compiled programs.
@@ -288,16 +522,22 @@ def search(
         pl = pad_layer(l)
         flat.extend([pl.nodes, pl.neighbors])
     flat = tuple(flat)
+    adaptive_layers = list(layers) if adaptive else None
 
     if query_block <= 0 or queries.shape[0] <= query_block:
-        return _run_block(flat, source, metric, queries, sp, exclude, len(layers))
+        return _run_block(
+            flat, source, metric, queries, sp, exclude, len(layers), adaptive_layers
+        )
 
     outs = []
     for start in range(0, queries.shape[0], query_block):
         stop = min(start + query_block, queries.shape[0])
         ex = exclude[start:stop] if exclude is not None else None
         outs.append(
-            _run_block(flat, source, metric, queries[start:stop], sp, ex, len(layers))
+            _run_block(
+                flat, source, metric, queries[start:stop], sp, ex, len(layers),
+                adaptive_layers,
+            )
         )
     ids = jnp.concatenate([o[0] for o in outs], axis=0)
     dists = jnp.concatenate([o[1] for o in outs], axis=0)
