@@ -109,9 +109,112 @@ def node_distances(layer: Layer, supers: jax.Array) -> Tuple[np.ndarray, np.ndar
     return np.asarray(hops), np.asarray(isum)
 
 
-def nodes_not_connected_to_super(layer: Layer, supers: jax.Array) -> np.ndarray:
-    """Node ids unreachable from every super (reference: src/lib.rs:414-422)."""
+def nodes_unreachable_from_all_supers(layer: Layer, supers: jax.Array) -> np.ndarray:
+    """Node ids unreachable from every super."""
     hops, _ = node_distances(layer, supers)
+    return np.nonzero(hops == np.iinfo(np.int32).max)[0].astype(np.int32)
+
+
+def per_super_node_distances(
+    layer: Layer, supers: jax.Array, chunk: int = 64
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-(super, node) BFS distances ``(hops [S, N], index_sum [S, N])``.
+
+    The batched generalization of the reference's labeled multi-source BFS
+    (multi_node_distances, src/lib.rs:323-383): each super floods the layer
+    independently; supers are processed in chunks of ``chunk`` sources, each
+    chunk one vectorized scatter-min fixpoint.
+    """
+    n, m = layer.neighbors.shape
+    supers = jnp.asarray(supers, ID_DTYPE)
+    s_total = int(supers.shape[0])
+    super_nodes = vec_to_node(layer.nodes, supers)
+
+    src = jnp.broadcast_to(jnp.arange(n, dtype=ID_DTYPE)[:, None], (n, m)).reshape(-1)
+    dst = layer.neighbors.reshape(-1)
+    pos_cost = jnp.broadcast_to(
+        jnp.arange(1, m + 1, dtype=jnp.int32)[None, :], (n, m)
+    ).reshape(-1)
+    edge_ok = dst != EMPTY_ID
+    dst_safe = jnp.where(edge_ok, dst, n)
+
+    out_h = np.full((s_total, n), INF_I32, np.int32)
+    out_s = np.full((s_total, n), INF_I32, np.int32)
+
+    def run_chunk(chunk_nodes):
+        s = chunk_nodes.shape[0]
+        hops0 = jnp.full((s, n), INF_I32, jnp.int32)
+        isum0 = jnp.full((s, n), INF_I32, jnp.int32)
+        rows = jnp.arange(s)
+        safe = jnp.clip(chunk_nodes, 0, n - 1)
+        ok = chunk_nodes != EMPTY_ID
+        hops0 = hops0.at[rows, safe].min(jnp.where(ok, 0, INF_I32))
+        isum0 = isum0.at[rows, safe].min(jnp.where(ok, 0, INF_I32))
+
+        def body(state):
+            hops, isum, _ = state
+            cand_h = jnp.where(
+                (hops[:, src] < INF_I32) & edge_ok[None, :], hops[:, src] + 1, INF_I32
+            )
+            cand_s = jnp.where(
+                (isum[:, src] < INF_I32) & edge_ok[None, :],
+                isum[:, src] + pos_cost[None, :],
+                INF_I32,
+            )
+            new_h = hops.at[:, dst_safe].min(cand_h, mode="drop")
+            new_s = isum.at[:, dst_safe].min(cand_s, mode="drop")
+            changed = jnp.any(new_h != hops) | jnp.any(new_s != isum)
+            return new_h, new_s, changed
+
+        h, s_, _ = jax.lax.while_loop(
+            lambda st: st[2], body, (hops0, isum0, jnp.asarray(True))
+        )
+        return np.asarray(h), np.asarray(s_)
+
+    for start in range(0, s_total, chunk):
+        stop = min(start + chunk, s_total)
+        h, s_ = run_chunk(super_nodes[start:stop])
+        out_h[start:stop] = h
+        out_s[start:stop] = s_
+    return out_h, out_s
+
+
+def multi_node_distances(
+    layer: Layer, supers: jax.Array, k: int = 5, chunk: int = 64
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per node, the ``k`` supers with the smallest (hops, index_sum) BFS
+    distance (reference: multi_node_distances::<5>, src/lib.rs:323-383 —
+    deterministic where the reference records discovery order).
+
+    Returns ``(super_idx [N, k], hops [N, k], index_sum [N, k])`` with -1 /
+    INT32_MAX padding for unreached entries.
+    """
+    hops, isum = per_super_node_distances(layer, supers, chunk)
+    order = np.lexsort((isum, hops), axis=0)[:k]  # [k, N]
+    top_h = np.take_along_axis(hops, order, axis=0).T
+    top_s = np.take_along_axis(isum, order, axis=0).T
+    sup_idx = order.T.astype(np.int32)
+    sup_idx = np.where(top_h == np.iinfo(np.int32).max, -1, sup_idx)
+    return sup_idx, top_h, top_s
+
+
+def node_distances_from_closest_super(
+    layer: Layer, source: Source, metric: Metric, supers: jax.Array, chunk: int = 64
+) -> Tuple[np.ndarray, np.ndarray]:
+    """BFS distance of every node from its *geometrically closest* super
+    (reference: node_distances_from_closest_super, src/lib.rs:385-412)."""
+    part = group_nodes_by_vectors(layer, source, metric, supers)  # [N] super idx
+    hops, isum = per_super_node_distances(layer, supers, chunk)
+    n = layer.node_count
+    return hops[part, np.arange(n)], isum[part, np.arange(n)]
+
+
+def nodes_not_connected_to_super(
+    layer: Layer, source: Source, metric: Metric, supers: jax.Array
+) -> np.ndarray:
+    """Node ids not reachable from their closest super (reference:
+    nodes_not_connected_to_super, src/lib.rs:414-422)."""
+    hops, _ = node_distances_from_closest_super(layer, source, metric, supers)
     return np.nonzero(hops == np.iinfo(np.int32).max)[0].astype(np.int32)
 
 

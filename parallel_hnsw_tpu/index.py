@@ -150,6 +150,20 @@ class Hnsw:
             self.layers, self.source, self.metric, queries, sp, exclude, query_block
         )
 
+    def search_instrumented(
+        self,
+        queries: jax.Array,
+        sp: Optional[SearchParams] = None,
+        exclude: Optional[jax.Array] = None,
+    ):
+        """Batched search returning (ids, dists, stats) with hop counts,
+        distance-eval counts and per-query last-improvement hop (reference:
+        Hnsw::search_instrumented, src/lib.rs:667-673)."""
+        from parallel_hnsw_tpu.search import search_instrumented as _si
+
+        sp = sp or self.build_parameters.optimization.search
+        return _si(self.layers, self.source, self.metric, queries, sp, exclude)
+
     def search_upto(
         self,
         queries: jax.Array,

@@ -58,7 +58,7 @@ def _relink_layer_jit(
 
     valid = nodes != EMPTY_ID  # padding rows must not emit edges
     queries = source_get(source, nodes)
-    res_ids, res_d, _, _ = search_stack(layers, source, metric, queries, sp, exclude=nodes)
+    res_ids, res_d, _, _, _ = search_stack(layers, source, metric, queries, sp, exclude=nodes)
     match_nodes = vec_to_node(nodes, res_ids[:, :match_count])  # [N, K]
     match_nodes = jnp.where(valid[:, None], match_nodes, EMPTY_ID)
     match_d = jnp.where(match_nodes == EMPTY_ID, EMPTY_DIST, res_d[:, :match_count])

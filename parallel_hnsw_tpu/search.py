@@ -43,6 +43,9 @@ class LayerSearchState(NamedTuple):
     done: jax.Array  # [Q] bool
     hops: jax.Array  # scalar int32
     evals: jax.Array  # scalar int32 — total distance evaluations (instrumentation)
+    improve_hop: jax.Array  # [Q] hop index of the last head-improving merge —
+    # the batched analogue of the reference's index_sum instrumentation
+    # (src/lib.rs:190-229, search_layers_instrumented)
 
 
 def _auto_max_hops(cap: int, max_hops: int) -> int:
@@ -70,7 +73,8 @@ def _layer_step_fns(
         return (state.hops < max_hops) & jnp.any(~state.done)
 
     def body(state: LayerSearchState) -> LayerSearchState:
-        ids, dists, expanded, probes, done, hops, evals = state
+        ids, dists, expanded, probes, done, hops, evals, improve_hop = state
+        prev_head = ids[:, 0]
         # --- select up to `b` nearest unexpanded slots per query
         frontier = (expanded == 0) & (ids != EMPTY_ID) & ~done[:, None]
         rank = jnp.where(frontier, slot_pos[None, :], cap)
@@ -112,7 +116,11 @@ def _layer_step_fns(
             (expanded == 0) & (ids != EMPTY_ID), axis=-1
         )
         done = done | newly_done
-        return LayerSearchState(ids, dists, expanded, probes, done, hops + 1, evals)
+        head_improved = (ids[:, 0] != prev_head) & ~state.done
+        improve_hop = jnp.where(head_improved, hops + 1, improve_hop)
+        return LayerSearchState(
+            ids, dists, expanded, probes, done, hops + 1, evals, improve_hop
+        )
 
     return cond, body
 
@@ -146,6 +154,7 @@ def search_one_layer(
         done=~jnp.any(init_ids != EMPTY_ID, axis=-1),
         hops=jnp.zeros((), jnp.int32),
         evals=jnp.zeros((), jnp.int32),
+        improve_hop=jnp.zeros((q_count,), jnp.int32),
     )
     return jax.lax.while_loop(cond, body, init)
 
@@ -175,7 +184,14 @@ def _advance_layer_jit(
         layer, source, metric, queries, cap, beam_width, chunk_hops
     )
     state = LayerSearchState(
-        ids, dists, expanded, probes, done, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+        ids,
+        dists,
+        expanded,
+        probes,
+        done,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((ids.shape[0],), jnp.int32),
     )
     return jax.lax.while_loop(cond, body, state)
 
@@ -308,6 +324,7 @@ def search_stack(
     cand_ids, cand_dists = _entry_seed(layers, source, metric, queries, noc)
     total_hops = jnp.zeros((), jnp.int32)
     total_evals = jnp.zeros((), jnp.int32)
+    bottom_improve_hop = jnp.zeros((q_count,), jnp.int32)
 
     for i, layer in enumerate(layers):
         is_bottom = i == len(layers) - 1 or len(layers) == 1
@@ -334,6 +351,8 @@ def search_stack(
         )
         total_hops = total_hops + state.hops
         total_evals = total_evals + state.evals
+        if is_bottom:
+            bottom_improve_hop = state.improve_hop
 
         found_vecs = node_to_vec(layer.nodes, state.ids)
         found_dists = state.dists
@@ -358,7 +377,7 @@ def search_stack(
         cand_dists = jnp.where(drop, EMPTY_DIST, cand_dists)
         cand_ids, cand_dists = sort_queue(cand_ids, cand_dists)
 
-    return cand_ids, cand_dists, total_hops, total_evals
+    return cand_ids, cand_dists, total_hops, total_evals, bottom_improve_hop
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -487,7 +506,7 @@ def _run_block(flat, source, metric, queries, sp, exclude, layer_count, layers=N
     if layers is not None:
         ids, dists = search_host(layers, source, metric, queries, sp, exclude)
     else:
-        ids, dists, hops, evals = _search_stack_jit(
+        ids, dists, hops, evals, improve_hop = _search_stack_jit(
             flat, source, metric, queries, sp, exclude, layer_count
         )
     return ids[:q], dists[:q]
@@ -542,3 +561,45 @@ def search(
     ids = jnp.concatenate([o[0] for o in outs], axis=0)
     dists = jnp.concatenate([o[1] for o in outs], axis=0)
     return ids, dists
+
+
+def search_instrumented(
+    layers: Sequence[Layer],
+    source: Source,
+    metric: Metric,
+    queries: jax.Array,
+    sp: SearchParams,
+    exclude: Optional[jax.Array] = None,
+):
+    """Search with instrumentation (reference: search_layers_instrumented /
+    Hnsw::search_instrumented, src/search.rs:93-140, src/lib.rs:667-673).
+
+    Returns ``(ids, dists, stats)`` where stats carries the total hop count,
+    total distance evaluations, and the per-query hop index of the last
+    head-improving merge in the bottom layer (the analogue of the reference's
+    ``index_distance``).
+    """
+    from parallel_hnsw_tpu.graph import pad_layer
+
+    flat = []
+    for l in layers:
+        pl = pad_layer(l)
+        flat.extend([pl.nodes, pl.neighbors])
+    q = queries.shape[0]
+    b = _query_bucket(q)
+    if b != q:
+        pad = b - q
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)]
+        )
+        if exclude is not None:
+            exclude = jnp.concatenate([exclude, jnp.full((pad,), EMPTY_ID, ID_DTYPE)])
+    ids, dists, hops, evals, improve_hop = _search_stack_jit(
+        tuple(flat), source, metric, queries, sp, exclude, len(layers)
+    )
+    stats = {
+        "hops": int(hops),
+        "distance_evaluations": int(evals),
+        "last_improvement_hop": improve_hop[:q],
+    }
+    return ids[:q], dists[:q], stats

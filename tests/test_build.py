@@ -70,3 +70,17 @@ def test_raw_build_recall():
     # raw build without the improvement loop; the reference's ≥0.9 gate
     # (src/lib.rs:2217-2224) applies after improve_index runs inside generate.
     assert recall >= 0.8, f"raw recall {recall}"
+
+
+def test_build_deterministic():
+    # same seed → bit-identical graphs (the reference gets per-node
+    # reproducibility from seeded per-task RNG, src/lib.rs:729-731; here the
+    # whole build is one deterministic program)
+    source = random_unit_corpus(300, 16)
+    bp = BuildParams()
+    a = generate(source, jnp.arange(300), bp, Metric.NORMALIZED_COSINE, seed=9)
+    b = generate(source, jnp.arange(300), bp, Metric.NORMALIZED_COSINE, seed=9)
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(la.nodes), np.asarray(lb.nodes))
+        np.testing.assert_array_equal(np.asarray(la.neighbors), np.asarray(lb.neighbors))

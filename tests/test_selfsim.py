@@ -126,3 +126,30 @@ def test_group_nodes_by_vectors(hnsw):
     )
     # vector 0 belongs to super 0's group; vector 1 to super 1's
     assert part[0] == 0 and part[1] == 1
+
+
+def test_multi_node_distances(hnsw):
+    bottom = hnsw.layers[-1]
+    supers = jnp.asarray(hnsw.supers_for_layer(0), jnp.int32)
+    sup_idx, hops, isum = analysis.multi_node_distances(bottom, supers, k=2)
+    n = bottom.node_count
+    assert sup_idx.shape == (n, min(2, len(supers)))
+    # the closest (by hops) super of a reachable node has finite distances
+    assert (hops[:, 0] < np.iinfo(np.int32).max).all()
+
+
+def test_node_distances_from_closest_super(hnsw):
+    bottom = hnsw.layers[-1]
+    supers = jnp.asarray(hnsw.supers_for_layer(0), jnp.int32)
+    hops, isum = analysis.node_distances_from_closest_super(
+        bottom, hnsw.source, Metric.COSINE, supers
+    )
+    # super nodes are distance 0 from themselves
+    nodes = np.asarray(bottom.nodes)
+    for s in np.asarray(supers):
+        pos = int(np.searchsorted(nodes, s))
+        assert hops[pos] == 0
+    not_conn = analysis.nodes_not_connected_to_super(
+        bottom, hnsw.source, Metric.COSINE, supers
+    )
+    assert len(not_conn) == 0  # fully-repaired tiny graph
