@@ -117,22 +117,25 @@ def _candidate_pool(key, seed_nodes, seed_dists, n: int, c: int):
     return cand
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "m"))
-def _build_rows(
-    vs,  # [N] sorted vector ids
-    seed_nodes,  # [N, S] node ids
-    seed_dists,  # [N, S]
-    cand,  # [N, C] node ids (random pool)
+@functools.partial(jax.jit, static_argnames=("metric", "m", "offset"))
+def _build_rows_block(
+    vs,  # [N] full sorted vector ids (for id mapping)
+    vs_block,  # [B] this block's vector ids
+    seed_nodes,  # [B, S] node ids
+    seed_dists,  # [B, S]
+    cand,  # [B, C] node ids (random pool)
     source,
     metric: Metric,
     m: int,
+    offset: int,
 ):
     """Distance-sort each node's (seeds ∪ pool), dedup, drop self, take M
-    (reference: src/lib.rs:748-786)."""
-    n = vs.shape[0]
-    own_vecs = source_get(source, vs)  # [N, D]
+    (reference: src/lib.rs:748-786).  One node block; blocks bound the
+    gathered ``[B, C, D]`` working set for huge layers."""
+    b = vs_block.shape[0]
+    own_vecs = source_get(source, vs_block)  # [B, D]
     cand_vec_ids = node_to_vec(vs, cand)
-    cand_vecs = source_get(source, cand_vec_ids)  # [N, C, D]
+    cand_vecs = source_get(source, cand_vec_ids)  # [B, C, D]
     d = batched_distance(own_vecs, cand_vecs, metric)
     # mask empty picks and picks that landed on node-bucket padding rows
     cand = jnp.where(cand_vec_ids == EMPTY_ID, EMPTY_ID, cand)
@@ -140,7 +143,7 @@ def _build_rows(
 
     all_ids = jnp.concatenate([seed_nodes, cand], axis=-1)
     all_d = jnp.concatenate([seed_dists, d], axis=-1)
-    self_node = jnp.arange(n, dtype=ID_DTYPE)[:, None]
+    self_node = offset + jnp.arange(b, dtype=ID_DTYPE)[:, None]
     is_self = all_ids == self_node
     all_ids = jnp.where(is_self, EMPTY_ID, all_ids)
     all_d = jnp.where(is_self, EMPTY_DIST, all_d)
@@ -148,10 +151,35 @@ def _build_rows(
     s_ids, s_d = sort_queue(all_ids, all_d)
     u_ids, u_d = dedup_sorted(s_ids, s_d)
     # padding rows (vs == EMPTY) emit no edges
-    row_valid = (vs != EMPTY_ID)[:, None]
+    row_valid = (vs_block != EMPTY_ID)[:, None]
     u_ids = jnp.where(row_valid, u_ids, EMPTY_ID)
     u_d = jnp.where(row_valid, u_d, EMPTY_DIST)
     return u_ids[:, :m], u_d[:, :m]
+
+
+def _build_rows(vs, seed_nodes, seed_dists, cand, source, metric, m, node_block):
+    n = vs.shape[0]
+    if n <= node_block:
+        return _build_rows_block(
+            vs, vs, seed_nodes, seed_dists, cand, source, metric, m, 0
+        )
+    outs_i, outs_d = [], []
+    for start in range(0, n, node_block):
+        stop = min(start + node_block, n)
+        ids, d = _build_rows_block(
+            vs,
+            vs[start:stop],
+            seed_nodes[start:stop],
+            seed_dists[start:stop],
+            cand[start:stop],
+            source,
+            metric,
+            m,
+            start,
+        )
+        outs_i.append(ids)
+        outs_d.append(d)
+    return jnp.concatenate(outs_i), jnp.concatenate(outs_d)
 
 
 def _seed_top_layer(
@@ -177,9 +205,11 @@ def generate_layer(
     source: Source,
     metric: Metric,
     initial_partition_search: SearchParams,
+    node_block: int = 16384,
 ) -> Layer:
     """Build one layer in bulk (reference: Hnsw::generate_layer,
-    src/lib.rs:675-823)."""
+    src/lib.rs:675-823).  ``node_block`` bounds per-launch HBM working sets
+    for huge layers."""
     vs = jnp.sort(jnp.asarray(vs, ID_DTYPE))
     n = int(vs.shape[0])
     m = neighborhood_size
@@ -194,7 +224,13 @@ def generate_layer(
     else:
         queries = source_get(source, vs)
         res_ids, res_dists = search(
-            list(stack), source, metric, queries, initial_partition_search, exclude=vs
+            list(stack),
+            source,
+            metric,
+            queries,
+            initial_partition_search,
+            exclude=vs,
+            query_block=node_block,
         )
         noc = initial_partition_search.number_of_candidates
         seed_nodes = vec_to_node(vs, res_ids[:, :noc])
@@ -204,7 +240,9 @@ def generate_layer(
 
     c = m * 5
     cand = _candidate_pool(key, seed_nodes, seed_dists, n, c)
-    fwd_ids, fwd_d = _build_rows(vs, seed_nodes, seed_dists, cand, source, metric, m)
+    fwd_ids, fwd_d = _build_rows(
+        vs, seed_nodes, seed_dists, cand, source, metric, m, node_block
+    )
     neighbors, _ = symmetrize(fwd_ids, fwd_d)
     return Layer(nodes=vs, neighbors=neighbors)
 

@@ -94,18 +94,91 @@ def _flatten_stack(layers: Sequence[Layer]) -> Tuple[jax.Array, ...]:
     return tuple(flat)
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _row_dists_jit(nodes, neighbors_block, block_nodes, source, metric: Metric):
+    row_vecs = source_get(source, node_to_vec(nodes, neighbors_block))
+    own = source_get(source, block_nodes)
+    row_d = batched_distance(own, row_vecs, metric)
+    return jnp.where(neighbors_block != EMPTY_ID, row_d, EMPTY_DIST)
+
+
+_rebuild_jit = jax.jit(rebuild_rows, static_argnums=(0, 1))
+
+
+def _relink_layer_blocked(
+    layers: List[Layer],
+    source: Source,
+    metric: Metric,
+    sp: SearchParams,
+    match_count: int,
+    node_block: int,
+):
+    """Memory-bounded relink for huge layers: self-search and row-distance
+    recomputation run in node blocks; the lock-free row rebuild runs once."""
+    from parallel_hnsw_tpu.search import search as _search_host
+
+    layer = layers[-1]
+    nodes, neighbors = layer.nodes, layer.neighbors
+    n, m = neighbors.shape
+
+    match_nodes_parts, match_d_parts, row_d_parts = [], [], []
+    for start in range(0, n, node_block):
+        stop = min(start + node_block, n)
+        block_nodes = nodes[start:stop]
+        queries = source_get(source, block_nodes)
+        res_ids, res_d = _search_host(
+            layers, source, metric, queries, sp, exclude=block_nodes
+        )
+        mn = vec_to_node(nodes, res_ids[:, :match_count])
+        mn = jnp.where((block_nodes != EMPTY_ID)[:, None], mn, EMPTY_ID)
+        md = jnp.where(mn == EMPTY_ID, EMPTY_DIST, res_d[:, :match_count])
+        match_nodes_parts.append(mn)
+        match_d_parts.append(md)
+        row_d_parts.append(
+            _row_dists_jit(nodes, neighbors[start:stop], block_nodes, source, metric)
+        )
+    match_nodes = jnp.concatenate(match_nodes_parts)
+    match_d = jnp.concatenate(match_d_parts)
+    row_d = jnp.concatenate(row_d_parts)
+
+    self_ids = jnp.broadcast_to(jnp.arange(n, dtype=ID_DTYPE)[:, None], (n, m))
+    match_src = jnp.broadcast_to(
+        jnp.arange(n, dtype=ID_DTYPE)[:, None], match_nodes.shape
+    )
+    all_dst = jnp.concatenate([self_ids.reshape(-1), match_nodes.reshape(-1)])
+    all_src = jnp.concatenate([neighbors.reshape(-1), match_src.reshape(-1)])
+    all_d = jnp.concatenate([row_d.reshape(-1), match_d.reshape(-1)])
+    new_neighbors, _ = _rebuild_jit(n, m, all_dst, all_src, all_d)
+    changed = int(
+        jnp.sum(jnp.any(new_neighbors != neighbors, axis=-1).astype(jnp.int32))
+    )
+    return new_neighbors, changed
+
+
 def link_layer_to_better_neighbors(
     layers: List[Layer],
     layer_from_top: int,
     source: Source,
     metric: Metric,
     sp: SearchParams,
+    node_block: int = 16384,
 ) -> Tuple[List[Layer], int]:
     """Relink one layer; returns the updated stack and #rows changed."""
     stack = layers[: layer_from_top + 1]
     # match_count = neighborhood size of the *index*, not of this layer
     # (reference: self.neighborhood_size(), src/lib.rs:1093)
     match_count = min(stack[-1].neighborhood_size, sp.number_of_candidates)
+    if stack[-1].node_count > node_block:
+        from parallel_hnsw_tpu.graph import pad_layer
+
+        padded_stack = [pad_layer(l) for l in stack[:-1]] + [stack[-1]]
+        new_neighbors, changed = _relink_layer_blocked(
+            padded_stack, source, metric, sp, match_count, node_block
+        )
+        new_layer = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
+        out = list(layers)
+        out[layer_from_top] = new_layer
+        return out, changed
     new_neighbors, changed = _relink_layer_jit(
         _flatten_stack(stack), source, metric, sp, len(stack), match_count
     )
@@ -138,7 +211,7 @@ def stochastic_recall_at(
         idx = rng.permutation(total)[:selection]
         sample = jnp.take(layer.nodes, jnp.asarray(idx, ID_DTYPE))
     queries = source_get(source, sample)
-    ids, _ = search(list(layers), source, metric, queries, op.search)
+    ids, _ = search(list(layers), source, metric, queries, op.search, query_block=8192)
     found = np.any(np.asarray(ids) == np.asarray(sample)[:, None], axis=-1)
     return float(found.mean())
 
