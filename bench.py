@@ -1,10 +1,14 @@
 """Benchmark harness — run on real TPU hardware.
 
-Workload: the reference's own bench (benches/bench.rs:54-63): build a graph
-over ~10k random 100-d unit vectors with the cosine metric, then measure
+Default workload: the reference's own bench (benches/bench.rs:54-63): build a
+graph over ~10k random 100-d unit vectors with the cosine metric, then measure
 batched query throughput at the default operating point (ef=300).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Other BASELINE.md configs: ``--mode pq`` (PQ codebook + code graph + rerank),
+``--mode sharded`` (mesh-sharded search), ``--dataset x.fvecs`` (real dataset
+via the native loader, e.g. SIFT1M when files are available).
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is measured
 against REF_SINGLE_CORE_QPS — an estimate of the Rust reference's single-core
@@ -28,6 +32,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--count", type=int, default=10_000)
     p.add_argument("--dim", type=int, default=100)
+    p.add_argument("--mode", choices=["dense", "pq", "sharded"], default="dense")
+    p.add_argument("--dataset", type=str, default=None, help="fvecs corpus path")
     p.add_argument(
         "--no-improve",
         dest="improve",
@@ -52,47 +58,83 @@ def main() -> None:
     from parallel_hnsw_tpu.utils.data import random_unit_corpus
 
     metric = Metric.NORMALIZED_COSINE
-    source = random_unit_corpus(args.count, args.dim, seed=42)
-    bp = BuildParams()
+    if args.dataset:
+        import jax.numpy as jnp
 
-    t0 = time.time()
-    hnsw = Hnsw.generate(source, None, bp, metric, seed=0, improve=args.improve)
-    build_s = time.time() - t0
+        from parallel_hnsw_tpu.graph import DenseSource
+        from parallel_hnsw_tpu.utils.datasets import read_vecs
+
+        vecs = read_vecs(args.dataset, count=args.count if args.count else -1)
+        source = DenseSource(vectors=jnp.asarray(vecs))
+        args.count, args.dim = vecs.shape
+        metric = Metric.EUCLIDEAN  # SIFT-style datasets are L2
+    else:
+        source = random_unit_corpus(args.count, args.dim, seed=42)
+    bp = BuildParams()
+    sp = bp.optimization.search.replace(probe_depth=args.probe_depth)
+    queries = source.vectors
+
+    if args.mode == "pq":
+        from parallel_hnsw_tpu.params import PqBuildParams
+        from parallel_hnsw_tpu.pq import QuantizedHnsw
+
+        dsub = 4 if args.dim % 4 == 0 else 5
+        t0 = time.time()
+        index = QuantizedHnsw.new(
+            min(4096, args.count), source, dsub, metric, PqBuildParams(),
+            seed=0, exact_quantize=True,
+        )
+        build_s = time.time() - t0
+        search_fn = lambda q: index.search(q, sp, exact_quantize=True)
+        tag = f"PQ({index.quantizer.nsub}x{dsub})"
+    elif args.mode == "sharded":
+        from parallel_hnsw_tpu.parallel import ShardedHnsw, default_mesh
+
+        t0 = time.time()
+        index = ShardedHnsw.generate(source, default_mesh(), bp, metric, seed=0,
+                                     improve=args.improve)
+        build_s = time.time() - t0
+        search_fn = lambda q: index.search(q, sp, k=sp.number_of_candidates)
+        tag = f"sharded x{default_mesh().devices.size}"
+    else:
+        t0 = time.time()
+        index = Hnsw.generate(source, None, bp, metric, seed=0, improve=args.improve)
+        build_s = time.time() - t0
+        search_fn = lambda q: index.search(q, sp, query_block=args.query_block)
+        tag = "dense"
     build_rate = args.count / build_s
 
-    queries = source.vectors
-    sp = bp.optimization.search.replace(probe_depth=args.probe_depth)
-
-    # ground truth for recall@10
-    gt_ids, _ = brute_force_knn(source, queries, metric, 10)
+    # ground truth for recall@10 on a query subsample
+    q_eval = queries[: min(args.count, 10_000)]
+    gt_ids, _ = brute_force_knn(source, q_eval, metric, 10)
     gt = np.asarray(gt_ids)
 
     # warmup (compile)
-    ids, dists = hnsw.search(queries, sp, query_block=args.query_block)
+    ids, dists = search_fn(q_eval)
     got = np.asarray(ids[:, :10])
     inter = np.asarray(
-        [len(np.intersect1d(got[i], gt[i])) for i in range(0, args.count, 97)]
+        [len(np.intersect1d(got[i], gt[i])) for i in range(0, len(gt), 97)]
     )
     recall_at_10 = float(inter.mean() / 10.0)
 
     best = float("inf")
     for _ in range(args.repeats):
         t0 = time.time()
-        out = hnsw.search(queries, sp, query_block=args.query_block)
+        out = search_fn(q_eval)
         out[0].block_until_ready()
         best = min(best, time.time() - t0)
-    qps = args.count / best
+    qps = len(gt) / best
 
     print(
         f"# build: {build_s:.1f}s ({build_rate:.0f} vec/s, improve={args.improve}); "
-        f"recall@10={recall_at_10:.4f}; layers={[l.node_count for l in hnsw.layers]}",
+        f"recall@10={recall_at_10:.4f}",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
                 "metric": (
-                    f"QPS/chip, bench.rs workload ({args.count}x{args.dim} cosine, "
+                    f"QPS/chip, {tag} ({args.count}x{args.dim}, "
                     f"ef={sp.number_of_candidates}, recall@10={recall_at_10:.4f}, "
                     f"build={build_rate:.0f} vec/s)"
                 ),

@@ -293,13 +293,19 @@ class QuantizedHnsw:
         sp: Optional[SearchParams] = None,
         rerank: bool = True,
         exact_quantize: bool = False,
+        query_block: int = 0,
     ) -> Tuple[jax.Array, jax.Array]:
         """Quantize the query, search the code graph, exact-rerank
         (reference: src/pq.rs:346-364)."""
         sp = sp or self.hnsw.build_parameters.optimization.search
+        if query_block <= 0:
+            # the code-graph hop reconstructs [Q, beam*M, SIZE] candidate
+            # vectors; bound the block so high-dim PQ stays within HBM
+            dim = self.full_source.dim
+            query_block = max(256, min(8192, (1 << 22) // max(dim, 1)))
         qcodes = self.quantizer.quantize(queries, exact=exact_quantize)
         qrecon = self.quantizer.reconstruct(qcodes)
-        ids, dists = self.hnsw.search(qrecon, sp)
+        ids, dists = self.hnsw.search(qrecon, sp, query_block=query_block)
         if not rerank:
             return ids, dists
         # exact rerank of every returned candidate with the full-precision
