@@ -206,7 +206,7 @@ def _sharded_search_jit(
         ]
         local = DenseSource(vectors=vectors[0])
         gids = global_ids[0]
-        ids, dists, _, _ = search_stack(layers, local, metric, queries, sp)
+        ids, dists, _, _, _ = search_stack(layers, local, metric, queries, sp)
         # local → global ids; padding rows map to EMPTY and are dropped
         safe = jnp.clip(ids, 0, gids.shape[0] - 1)
         g = jnp.where(ids == EMPTY_ID, EMPTY_ID, jnp.take(gids, safe))
