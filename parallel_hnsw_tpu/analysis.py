@@ -27,14 +27,21 @@ def brute_force_knn(
     source: Source, queries: jax.Array, metric: Metric, k: int, query_block: int = 4096
 ):
     """Exact top-k by full pairwise distance on the MXU. Returns (ids, dists)."""
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("metric", "k"))
+    def block(q, vecs, metric, k):
+        d = best_pairwise_distance(q, vecs, metric)
+        neg_d, idx = jax.lax.top_k(-d, k)
+        return idx.astype(jnp.int32), -neg_d
+
     outs_i, outs_d = [], []
     vecs = source_get(source, jnp.arange(source.count))
     for start in range(0, queries.shape[0], query_block):
         q = queries[start : start + query_block]
-        d = best_pairwise_distance(q, vecs, metric)
-        neg_d, idx = jax.lax.top_k(-d, k)
+        idx, dd = block(q, vecs, metric, k)
         outs_i.append(idx)
-        outs_d.append(-neg_d)
+        outs_d.append(dd)
     return jnp.concatenate(outs_i), jnp.concatenate(outs_d)
 
 

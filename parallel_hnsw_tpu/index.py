@@ -175,6 +175,18 @@ class Hnsw:
             self.layers[:upto_layer_from_top], self.source, self.metric, queries, sp
         )
 
+    def search_exact(self, queries: jax.Array, k: int = 10, query_block: int = 4096):
+        """Exact top-k by full MXU scan (no graph traversal).
+
+        On TPU a brute-force distance matrix often beats graph traversal for
+        corpora up to the low millions — the MXU evaluates the whole corpus
+        faster than sparse neighbor gathers resolve (TPU-KNN observation);
+        this is the speed-of-light baseline the graph path is measured
+        against."""
+        from parallel_hnsw_tpu.analysis import brute_force_knn
+
+        return brute_force_knn(self.source, queries, self.metric, k, query_block)
+
     def search_ids(self, vector_ids, sp=None, exclude_self: bool = False):
         """Search with stored vectors as queries (AbstractVector::Stored)."""
         vector_ids = jnp.asarray(vector_ids, ID_DTYPE)
