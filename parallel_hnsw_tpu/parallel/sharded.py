@@ -8,13 +8,15 @@ query fans out to every shard's batched beam search followed by a cross-shard
 top-k merge over ICI (``all_gather`` of per-shard candidate queues).  Build is
 embarrassingly parallel per shard; no cross-shard pointer chasing ever
 happens, so collectives ride ICI once per query batch rather than once per
-hop.  This matches BASELINE.md's 100M-vectors-across-a-mesh configuration.
+hop.  Supports dense and PQ-compressed shards (BASELINE.md's 100M x 768-d
+PQ-sharded configuration is this layout: per-shard code arrays + a replicated
+codebook).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
-from parallel_hnsw_tpu.graph import DenseSource, Layer, Source
+from parallel_hnsw_tpu.graph import DenseSource, Layer, PqSource, Source
 from parallel_hnsw_tpu.index import Hnsw
 from parallel_hnsw_tpu.ops.distance import Metric
 from parallel_hnsw_tpu.ops.queues import sort_queue
@@ -37,37 +39,79 @@ def default_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+# -- source stacking helpers (dense + PQ) ------------------------------------
+
+
+def _take_rows_source(source: Source, ids: np.ndarray) -> Source:
+    if isinstance(source, DenseSource):
+        return DenseSource(vectors=jnp.asarray(np.asarray(source.vectors)[ids]))
+    if isinstance(source, PqSource):
+        return PqSource(
+            codes=jnp.asarray(np.asarray(source.codes)[ids]), codebook=source.codebook
+        )
+    raise TypeError(type(source))
+
+
+def _stack_sources(sources: Sequence[Source]) -> Source:
+    if isinstance(sources[0], DenseSource):
+        return DenseSource(vectors=jnp.stack([s.vectors for s in sources]))
+    if isinstance(sources[0], PqSource):
+        # codebook is shared/replicated across shards
+        return PqSource(
+            codes=jnp.stack([s.codes for s in sources]), codebook=sources[0].codebook
+        )
+    raise TypeError(type(sources[0]))
+
+
+def _source_specs(source: Source, ax: str):
+    if isinstance(source, DenseSource):
+        return DenseSource(vectors=P(ax, None, None))
+    if isinstance(source, PqSource):
+        return PqSource(codes=P(ax, None, None), codebook=P())
+    raise TypeError(type(source))
+
+
+def _unstack_source(stacked: Source) -> Source:
+    """Inside shard_map: drop the local leading shard dim (1)."""
+    if isinstance(stacked, DenseSource):
+        return DenseSource(vectors=stacked.vectors[0])
+    if isinstance(stacked, PqSource):
+        return PqSource(codes=stacked.codes[0], codebook=stacked.codebook)
+    raise TypeError(type(stacked))
+
+
 class ShardedHnsw:
     """A corpus sharded over a mesh axis, one HNSW per shard.
 
     ``layers_stacked``: per ladder level, (nodes [S, N], neighbors [S, N, M]).
-    ``vectors``: [S, N_shard, D]; ``global_ids``: [S, N_shard] mapping local
-    vector ids to corpus ids (EMPTY_ID for padding rows).
+    ``source_stacked``: shard-major vector source (dense [S, N, D] or PQ codes
+    [S, N, Q] + replicated codebook); ``global_ids``: [S, N] mapping local ids
+    to corpus ids (EMPTY_ID on padding rows).
     """
 
     def __init__(
         self,
         mesh: Mesh,
         layers_stacked: List[Layer],
-        vectors: jax.Array,
+        source_stacked: Source,
         global_ids: jax.Array,
         metric: Metric,
-        build_parameters: BuildParams,
+        build_parameters: Optional[BuildParams] = None,
     ):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.layers_stacked = layers_stacked
-        self.vectors = vectors
+        self.source_stacked = source_stacked
         self.global_ids = global_ids
         self.metric = Metric(metric)
-        self.build_parameters = build_parameters
+        self.build_parameters = build_parameters or BuildParams()
 
     # -- construction --------------------------------------------------------
 
     @classmethod
     def generate(
         cls,
-        source: DenseSource,
+        source: Source,
         mesh: Mesh,
         bp: Optional[BuildParams] = None,
         metric: Metric = Metric.COSINE,
@@ -76,42 +120,44 @@ class ShardedHnsw:
         verbose: bool = False,
     ) -> "ShardedHnsw":
         """Partition the corpus round-robin over shards and build one HNSW per
-        shard.  Shards are padded to equal size by repeating the last vector
-        (padding rows get EMPTY global ids and are masked from results)."""
+        shard, each on its own device (async dispatch overlaps shard builds on
+        real multi-chip meshes).  Ragged shards are padded by repeating the
+        last row; padding rows get EMPTY global ids and are masked from
+        results."""
         bp = bp or BuildParams()
         n_shards = mesh.devices.size
         count = source.count
         per = -(-count // n_shards)  # ceil
-        vecs = np.asarray(source.vectors)
 
-        shard_vectors = np.zeros((n_shards, per, vecs.shape[1]), np.float32)
         shard_gids = np.full((n_shards, per), EMPTY_ID, np.int32)
+        shard_sources: List[Source] = []
         shard_hnsws: List[Hnsw] = []
+        devices = list(mesh.devices.flat)
         for s in range(n_shards):
             ids = np.arange(s, count, n_shards)
             pad = per - len(ids)
+            real = len(ids)
             if pad:
                 ids = np.concatenate([ids, np.repeat(ids[-1:], pad)])
-            shard_vectors[s] = vecs[ids]
-            shard_gids[s, : per - pad] = ids[: per - pad]
-            sub_source = DenseSource(vectors=jnp.asarray(shard_vectors[s]))
-            # local vector ids are 0..per (padding rows are *duplicates* of the
-            # last real vector: harmless graph members, masked at query time);
-            # dedup in generate_layer tolerates them.
-            local_ids = jnp.arange(per - pad, dtype=ID_DTYPE)
-            h = Hnsw.generate(
-                sub_source, local_ids, bp, metric, seed=seed + s, improve=improve,
-                verbose=verbose,
-            )
+            shard_gids[s, :real] = ids[:real]
+            sub_source = _take_rows_source(source, ids)
+            shard_sources.append(sub_source)
+            # local vector ids are 0..per (padding rows are duplicates of the
+            # last real vector: harmless graph members, masked at query time)
+            local_ids = jnp.arange(real, dtype=ID_DTYPE)
+            with jax.default_device(devices[s]):
+                h = Hnsw.generate(
+                    sub_source, local_ids, bp, metric, seed=seed + s,
+                    improve=improve, verbose=verbose,
+                )
             shard_hnsws.append(h)
 
         layer_counts = {h.layer_count for h in shard_hnsws}
         if len(layer_counts) != 1:
-            # promotions may skew ladders between shards; re-level by rebuilding
-            # the taller stacks without improvement is complex — instead pad
-            # missing top levels by replicating each shard's current top.
+            # promotions may skew ladders between shards; pad missing top
+            # levels by replicating each shard's current top.
             max_lc = max(layer_counts)
-            for i, h in enumerate(shard_hnsws):
+            for h in shard_hnsws:
                 while h.layer_count < max_lc:
                     h.layers.insert(0, h.layers[0])
         # equalize per-level shapes across shards by padding nodes/neighbors
@@ -124,13 +170,17 @@ class ShardedHnsw:
             for s, h in enumerate(shard_hnsws):
                 l = h.layers[lvl]
                 nodes[s, : l.node_count] = np.asarray(l.nodes)
-                neigh[s, : l.node_count, : l.neighborhood_size] = np.asarray(l.neighbors)
-            stacked.append(Layer(nodes=jnp.asarray(nodes), neighbors=jnp.asarray(neigh)))
+                neigh[s, : l.node_count, : l.neighborhood_size] = np.asarray(
+                    l.neighbors
+                )
+            stacked.append(
+                Layer(nodes=jnp.asarray(nodes), neighbors=jnp.asarray(neigh))
+            )
 
         out = cls(
             mesh,
             stacked,
-            jnp.asarray(shard_vectors),
+            _stack_sources(shard_sources),
             jnp.asarray(shard_gids),
             metric,
             bp,
@@ -145,7 +195,9 @@ class ShardedHnsw:
         def put(x, spec):
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
-        self.vectors = put(self.vectors, P(ax, None, None))
+        self.source_stacked = jax.tree_util.tree_map(
+            put, self.source_stacked, _source_specs(self.source_stacked, ax)
+        )
         self.global_ids = put(self.global_ids, P(ax, None))
         self.layers_stacked = [
             Layer(
@@ -170,7 +222,7 @@ class ShardedHnsw:
             self.mesh,
             self.axis,
             tuple(flat),
-            self.vectors,
+            self.source_stacked,
             self.global_ids,
             queries,
             self.metric,
@@ -188,7 +240,7 @@ def _sharded_search_jit(
     mesh: Mesh,
     axis: str,
     layers_flat: Tuple[jax.Array, ...],
-    vectors: jax.Array,
+    source_stacked: Source,
     global_ids: jax.Array,
     queries: jax.Array,
     metric: Metric,
@@ -198,13 +250,13 @@ def _sharded_search_jit(
 ):
     ax = axis
 
-    def per_shard(layers_flat, vectors, global_ids, queries):
+    def per_shard(layers_flat, source_stacked, global_ids, queries):
         # leading shard dim is 1 inside shard_map
         layers = [
             Layer(layers_flat[2 * i][0], layers_flat[2 * i + 1][0])
             for i in range(layer_count)
         ]
-        local = DenseSource(vectors=vectors[0])
+        local = _unstack_source(source_stacked)
         gids = global_ids[0]
         ids, dists, _, _, _ = search_stack(layers, local, metric, queries, sp)
         # local → global ids; padding rows map to EMPTY and are dropped
@@ -229,8 +281,13 @@ def _sharded_search_jit(
     fn = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(tuple(specs), P(ax, None, None), P(ax, None), P()),
+        in_specs=(
+            tuple(specs),
+            _source_specs(source_stacked, ax),
+            P(ax, None),
+            P(),
+        ),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(layers_flat, vectors, global_ids, queries)
+    return fn(layers_flat, source_stacked, global_ids, queries)

@@ -61,3 +61,34 @@ def test_sharded_sorted_and_unique(sharded):
         assert np.all(np.diff(row_d[fin]) >= -1e-6)
         real = row_i[row_i != EMPTY_ID]
         assert len(np.unique(real)) == len(real)
+
+
+def test_sharded_pq_source():
+    # PQ-compressed shards: per-shard code arrays + replicated codebook —
+    # the BASELINE 100M-config layout at toy scale
+    import jax.numpy as jnp
+    from parallel_hnsw_tpu.graph import PqSource
+    from parallel_hnsw_tpu.pq import HnswQuantizer, QuantizedHnsw, random_centroids
+
+    source = random_unit_corpus(200, 16, seed=21)
+    book = random_centroids(source.vectors, 64, 4, seed=0)
+    # quantize the corpus exactly
+    from parallel_hnsw_tpu.ops.distance import pairwise_distance
+
+    subs = np.asarray(source.vectors).reshape(-1, 4)
+    d = np.asarray(
+        pairwise_distance(jnp.asarray(subs), jnp.asarray(book), Metric.SQUARED_EUCLIDEAN)
+    )
+    codes = d.argmin(axis=1).reshape(200, 4).astype(np.int32)
+    pq = PqSource(codes=jnp.asarray(codes), codebook=jnp.asarray(book))
+
+    mesh = default_mesh()
+    sh = ShardedHnsw.generate(pq, mesh, BP, Metric.EUCLIDEAN, seed=0)
+    queries = source.vectors[:32]
+    ids, dists = sh.search(queries, k=5)
+    got = np.asarray(ids)
+    valid = got[got != EMPTY_ID]
+    assert valid.size > 0 and valid.max() < 200
+    # reconstructed self should usually be findable
+    hits = (got[:, 0] == np.arange(32)).mean()
+    assert hits > 0.5, hits
