@@ -319,6 +319,55 @@ class QuantizedHnsw:
         r_ids, r_d = sort_queue(ids, d)
         return r_ids, r_d
 
+    def search_exact(
+        self,
+        queries: jax.Array,
+        k: int = 10,
+        rerank: bool = True,
+        code_block: int = 1 << 20,
+        query_block: int = 1024,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Flat ADC scan over all codes + optional exact rerank.
+
+        Per-query ``[nsub, K]`` partial-distance tables score the entire code
+        array on the VPU (no graph traversal, no reconstruction) — the fast
+        path for PQ corpora on TPU, where brute scans outrun sparse gathers.
+        """
+        pq_src = self.hnsw.source
+        assert isinstance(pq_src, PqSource)
+        metric = self.hnsw.metric
+        n = pq_src.count
+        out_i, out_d = [], []
+        for qs in range(0, queries.shape[0], query_block):
+            q = queries[qs : qs + query_block]
+            lut = adc_lut(q, pq_src.codebook, metric)
+            best_i, best_d = None, None
+            for cs in range(0, n, code_block):
+                codes = pq_src.codes[cs : cs + code_block]
+                d = adc_scan(lut, codes, metric)  # [q, block]
+                neg_d, idx = jax.lax.top_k(-d, min(k, codes.shape[0]))
+                idx = (idx + cs).astype(ID_DTYPE)
+                if best_i is None:
+                    best_i, best_d = idx, -neg_d
+                else:
+                    best_i = jnp.concatenate([best_i, idx], axis=-1)
+                    best_d = jnp.concatenate([best_d, -neg_d], axis=-1)
+                    bd, bi = jax.lax.sort((best_d, best_i), num_keys=1)
+                    best_i, best_d = bi[:, :k], bd[:, :k]
+            out_i.append(best_i)
+            out_d.append(best_d)
+        ids = jnp.concatenate(out_i)
+        dists = jnp.concatenate(out_d)
+        if rerank:
+            from parallel_hnsw_tpu.ops.distance import batched_distance
+
+            safe = jnp.clip(ids, 0, self.full_source.count - 1)
+            cand = source_get(self.full_source, safe)
+            d = batched_distance(queries, cand, metric)
+            d = jnp.where(ids == EMPTY_ID, jnp.inf, d)
+            ids, dists = sort_queue(ids, d)
+        return ids, dists
+
     # delegates (reference: src/pq.rs:366-410)
     def improve_index(self, bp: Optional[BuildParams] = None, last_recall=None) -> float:
         return self.hnsw.improve_index(bp, last_recall)

@@ -136,3 +136,23 @@ def test_adc_matches_cosine(small_pq):
     recon = np.asarray(source_get(pq_src, jnp.arange(20)))
     want = np.asarray(pairwise_distance(queries, jnp.asarray(recon), Metric.COSINE))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_adc_flat_scan_search(small_pq):
+    q, src = small_pq
+    ids, dists = q.search_exact(src.vectors, k=10, rerank=True)
+    hits = np.asarray(ids[:, 0]) == np.arange(src.count)
+    assert hits.mean() >= 0.9, hits.mean()
+
+
+def test_adc_flat_scan_matches_reconstruction_ranking(small_pq):
+    q, src = small_pq
+    # without rerank, the flat ADC scan must equal brute force over the
+    # reconstructed corpus
+    from parallel_hnsw_tpu.analysis import brute_force_knn
+
+    ids, dists = q.search_exact(src.vectors[:20], k=5, rerank=False)
+    gt_ids, gt_d = brute_force_knn(q.hnsw.source, src.vectors[:20], Metric.EUCLIDEAN, 5)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dists), -1), np.sort(np.asarray(gt_d), -1), atol=1e-4
+    )
