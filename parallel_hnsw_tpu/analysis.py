@@ -270,3 +270,64 @@ def reverse_get_neighbors(layer: Layer, node: int) -> np.ndarray:
     """All nodes whose row contains ``node`` (reference: src/lib.rs:538-548)."""
     neighbors = np.asarray(layer.neighbors)
     return np.nonzero((neighbors == int(node)).any(axis=1))[0].astype(np.int32)
+
+
+def blocked_topk_pairwise(
+    queries: jax.Array,  # [Q, D]
+    corpus_feats: jax.Array,  # [N, D]
+    metric: Metric,
+    k: int,
+    row_block: int = 4096,
+    col_block: int = 1 << 16,
+    exclude_diag_offset: "int | None" = None,
+):
+    """Exact top-k by blocked pairwise distances with streaming merge.
+
+    Bounds the live distance matrix to ``[row_block, col_block]``.  When
+    ``exclude_diag_offset`` is set, entry (i, exclude_diag_offset + i) is
+    masked (self-exclusion for within-corpus queries).  Returns (ids, dists)
+    ``[Q, k]`` sorted ascending.
+    """
+    import functools as _ft
+
+    n = corpus_feats.shape[0]
+    k = min(k, n)
+
+    @_ft.partial(jax.jit, static_argnames=("metric", "k", "row_off_is_none"))
+    def block(q, c, col_off, row_off, metric, k, row_off_is_none):
+        from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
+
+        d = best_pairwise_distance(q, c, metric)
+        if not row_off_is_none:
+            rows = jnp.arange(q.shape[0])[:, None] + row_off
+            cols = jnp.arange(c.shape[0])[None, :] + col_off
+            d = jnp.where(rows == cols, jnp.inf, d)
+        kk = min(k, c.shape[0])
+        neg_d, idx = jax.lax.top_k(-d, kk)
+        return (idx + col_off).astype(ID_DTYPE), -neg_d
+
+    out_i, out_d = [], []
+    for rs in range(0, queries.shape[0], row_block):
+        q = queries[rs : rs + row_block]
+        best_i, best_d = None, None
+        for cs in range(0, n, col_block):
+            c = corpus_feats[cs : cs + col_block]
+            idx, dd = block(
+                q,
+                c,
+                cs,
+                (exclude_diag_offset + rs) if exclude_diag_offset is not None else 0,
+                metric,
+                k,
+                exclude_diag_offset is None,
+            )
+            if best_i is None:
+                best_i, best_d = idx, dd
+            else:
+                cat_i = jnp.concatenate([best_i, idx], axis=-1)
+                cat_d = jnp.concatenate([best_d, dd], axis=-1)
+                s_d, s_i = jax.lax.sort((cat_d, cat_i), num_keys=2)
+                best_i, best_d = s_i[:, :k], s_d[:, :k]
+        out_i.append(best_i)
+        out_d.append(best_d)
+    return jnp.concatenate(out_i), jnp.concatenate(out_d)

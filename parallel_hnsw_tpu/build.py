@@ -206,6 +206,7 @@ def generate_layer(
     metric: Metric,
     initial_partition_search: SearchParams,
     node_block: int = 16384,
+    exact_seed_threshold: int = 131072,
 ) -> Layer:
     """Build one layer in bulk (reference: Hnsw::generate_layer,
     src/lib.rs:675-823).  ``node_block`` bounds per-launch HBM working sets
@@ -222,17 +223,34 @@ def generate_layer(
             vs, source, metric, m, initial_partition_search.number_of_candidates
         )
     else:
-        queries = source_get(source, vs)
-        res_ids, res_dists = search(
-            list(stack),
-            source,
-            metric,
-            queries,
-            initial_partition_search,
-            exclude=vs,
-            query_block=node_block,
-        )
         noc = initial_partition_search.number_of_candidates
+        queries = source_get(source, vs)
+        bottom = stack[-1]
+        if 0 < exact_seed_threshold and bottom.node_count <= exact_seed_threshold:
+            # exact seeds: nearest stack-bottom vectors by blocked MXU scan
+            # (the graph search's result set is exactly "nearest among the
+            # deepest stack layer"; brute force computes it faster on TPU)
+            from parallel_hnsw_tpu.analysis import blocked_topk_pairwise
+
+            corpus_feats = source_get(source, bottom.nodes)
+            top_i, top_d = blocked_topk_pairwise(
+                queries, corpus_feats, metric, noc + 1, row_block=node_block
+            )
+            res_ids = node_to_vec(bottom.nodes, top_i)
+            drop = res_ids == vs[:, None]
+            res_ids = jnp.where(drop, EMPTY_ID, res_ids)
+            top_d = jnp.where(drop, EMPTY_DIST, top_d)
+            res_ids, res_dists = sort_queue(res_ids, top_d)
+        else:
+            res_ids, res_dists = search(
+                list(stack),
+                source,
+                metric,
+                queries,
+                initial_partition_search,
+                exclude=vs,
+                query_block=node_block,
+            )
         seed_nodes = vec_to_node(vs, res_ids[:, :noc])
         seed_dists = jnp.where(
             seed_nodes == EMPTY_ID, EMPTY_DIST, res_dists[:, :noc]
@@ -291,6 +309,7 @@ def generate(
             source,
             metric,
             bp.initial_partition_search,
+            exact_seed_threshold=bp.exact_seed_threshold,
         )
         layers.append(layer)
         if improver is not None:

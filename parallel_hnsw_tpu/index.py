@@ -93,7 +93,8 @@ class Hnsw:
                 monitor.alive()
                 for lft in range(self_ref.layer_count):
                     self_ref.layers, _ = _optimize.link_layer_to_better_neighbors(
-                        self_ref.layers, lft, source, metric, bp.optimization.search
+                        self_ref.layers, lft, source, metric, bp.optimization.search,
+                        exact_threshold=bp.optimization.exact_relink_threshold,
                     )
         return self_ref
 

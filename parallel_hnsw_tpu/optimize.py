@@ -155,6 +155,48 @@ def _relink_layer_blocked(
     return new_neighbors, changed
 
 
+def _relink_layer_exact(
+    layer: Layer,
+    source: Source,
+    metric: Metric,
+    match_count: int,
+    node_block: int,
+):
+    """Exact relink: matches are the true nearest neighbors within the layer,
+    computed by blocked MXU brute force — faster than graph search on TPU and
+    strictly better edges than the reference's approximate matches."""
+    from parallel_hnsw_tpu.analysis import blocked_topk_pairwise
+
+    nodes, neighbors = layer.nodes, layer.neighbors
+    n, m = neighbors.shape
+    feats = source_get(source, nodes)
+    match_nodes, match_d = blocked_topk_pairwise(
+        feats, feats, metric, match_count, row_block=4096, exclude_diag_offset=0
+    )
+    row_d_parts = []
+    for start in range(0, n, node_block):
+        stop = min(start + node_block, n)
+        row_d_parts.append(
+            _row_dists_jit(
+                nodes, neighbors[start:stop], nodes[start:stop], source, metric
+            )
+        )
+    row_d = jnp.concatenate(row_d_parts)
+
+    self_ids = jnp.broadcast_to(jnp.arange(n, dtype=ID_DTYPE)[:, None], (n, m))
+    match_src = jnp.broadcast_to(
+        jnp.arange(n, dtype=ID_DTYPE)[:, None], match_nodes.shape
+    )
+    all_dst = jnp.concatenate([self_ids.reshape(-1), match_nodes.reshape(-1)])
+    all_src = jnp.concatenate([neighbors.reshape(-1), match_src.reshape(-1)])
+    all_d = jnp.concatenate([row_d.reshape(-1), match_d.reshape(-1)])
+    new_neighbors, _ = _rebuild_jit(n, m, all_dst, all_src, all_d)
+    changed = int(
+        jnp.sum(jnp.any(new_neighbors != neighbors, axis=-1).astype(jnp.int32))
+    )
+    return new_neighbors, changed
+
+
 def link_layer_to_better_neighbors(
     layers: List[Layer],
     layer_from_top: int,
@@ -162,12 +204,20 @@ def link_layer_to_better_neighbors(
     metric: Metric,
     sp: SearchParams,
     node_block: int = 16384,
+    exact_threshold: int = 131072,
 ) -> Tuple[List[Layer], int]:
     """Relink one layer; returns the updated stack and #rows changed."""
     stack = layers[: layer_from_top + 1]
     # match_count = neighborhood size of the *index*, not of this layer
     # (reference: self.neighborhood_size(), src/lib.rs:1093)
     match_count = min(stack[-1].neighborhood_size, sp.number_of_candidates)
+    if 0 < stack[-1].node_count <= exact_threshold:
+        new_neighbors, changed = _relink_layer_exact(
+            stack[-1], source, metric, match_count, node_block
+        )
+        out = list(layers)
+        out[layer_from_top] = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
+        return out, changed
     if stack[-1].node_count > node_block:
         from parallel_hnsw_tpu.graph import pad_layer
 
@@ -244,7 +294,8 @@ def improve_neighbors_upto(
     while improvement >= op.neighborhood_threshold and last < 1.0:
         for lft in range(upto):
             layers, changed = link_layer_to_better_neighbors(
-                layers, lft, source, metric, op.search
+                layers, lft, source, metric, op.search,
+                exact_threshold=op.exact_relink_threshold,
             )
             if log:
                 log(f"layer {lft}: relinked {changed}")

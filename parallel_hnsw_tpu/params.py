@@ -41,6 +41,10 @@ class OptimizationParams:
     recall_proportion: float = 0.1
     promotion_proportion: float = 1.0
     search: SearchParams = field(default_factory=SearchParams)
+    # TPU extension: layers at or below this node count compute relink matches
+    # by exact MXU brute force instead of graph search — faster on TPU (the
+    # MXU outruns sparse gathers) and yields true-nearest edges. 0 disables.
+    exact_relink_threshold: int = 131072
 
     def replace(self, **kw: Any) -> "OptimizationParams":
         return dataclasses.replace(self, **kw)
@@ -59,6 +63,10 @@ class BuildParams:
             number_of_candidates=6, upper_layer_candidate_count=6, probe_depth=2
         )
     )
+    # TPU extension: stacks whose bottom layer is at or below this node count
+    # compute initial-partition seeds by exact MXU brute force instead of
+    # graph search during generate_layer. 0 disables.
+    exact_seed_threshold: int = 131072
     # TPU extension (not in the reference): unconditional relink sweeps at the
     # end of generate.  The reference's improve loop exits as soon as sampled
     # *self*-recall hits 1.0 (src/lib.rs:1565), which leaves true-neighbor
