@@ -27,3 +27,14 @@ def random_corpus(count: int, dim: int, seed: int = 42) -> DenseSource:
     key = jax.random.PRNGKey(seed)
     x = jax.random.uniform(key, (count, dim), minval=-1.0, maxval=1.0)
     return DenseSource(vectors=x.astype(jnp.float32))
+
+
+def make_random_hnsw(count: int, dim: int, seed: int = 42, bp=None, **kw):
+    """Convenience mirroring the reference's bigvec::make_random_hnsw
+    (src/bigvec.rs:9-36): seeded random unit corpus + normalized-cosine build."""
+    from parallel_hnsw_tpu.index import Hnsw
+    from parallel_hnsw_tpu.ops.distance import Metric
+    from parallel_hnsw_tpu.params import BuildParams
+
+    source = random_unit_corpus(count, dim, seed)
+    return Hnsw.generate(source, None, bp or BuildParams(), Metric.NORMALIZED_COSINE, **kw)
