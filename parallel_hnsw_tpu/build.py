@@ -182,6 +182,12 @@ def _build_rows(vs, seed_nodes, seed_dists, cand, source, metric, m, node_block)
     return jnp.concatenate(outs_i), jnp.concatenate(outs_d)
 
 
+def _auto_node_block(c: int, dim: int, budget_bytes: int = 2 << 30) -> int:
+    """Node-block size bounding the gathered [block, c, dim] f32 working set."""
+    block = budget_bytes // max(1, c * dim * 4)
+    return int(max(256, min(16384, block)))
+
+
 def _seed_top_layer(
     vs: jax.Array, source: Source, metric: Metric, m: int, noc: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -205,15 +211,18 @@ def generate_layer(
     source: Source,
     metric: Metric,
     initial_partition_search: SearchParams,
-    node_block: int = 16384,
+    node_block: int = 0,
     exact_seed_threshold: int = 131072,
 ) -> Layer:
     """Build one layer in bulk (reference: Hnsw::generate_layer,
     src/lib.rs:675-823).  ``node_block`` bounds per-launch HBM working sets
-    for huge layers."""
+    for huge layers; 0 = auto from a byte budget (the dominant buffer is the
+    gathered ``[block, 5M, D]`` candidate block)."""
     vs = jnp.sort(jnp.asarray(vs, ID_DTYPE))
     n = int(vs.shape[0])
     m = neighborhood_size
+    if node_block <= 0:
+        node_block = _auto_node_block(m * 5, source.dim)
 
     if n == 1:
         return Layer(nodes=vs, neighbors=jnp.full((1, m), EMPTY_ID, dtype=ID_DTYPE))

@@ -203,11 +203,17 @@ def link_layer_to_better_neighbors(
     source: Source,
     metric: Metric,
     sp: SearchParams,
-    node_block: int = 16384,
+    node_block: int = 0,
     exact_threshold: int = 131072,
 ) -> Tuple[List[Layer], int]:
-    """Relink one layer; returns the updated stack and #rows changed."""
+    """Relink one layer; returns the updated stack and #rows changed.
+    ``node_block`` 0 = auto from a byte budget on the [block, M, D] row
+    gather."""
     stack = layers[: layer_from_top + 1]
+    if node_block <= 0:
+        from parallel_hnsw_tpu.build import _auto_node_block
+
+        node_block = _auto_node_block(stack[-1].neighborhood_size, source.dim)
     # match_count = neighborhood size of the *index*, not of this layer
     # (reference: self.neighborhood_size(), src/lib.rs:1093)
     match_count = min(stack[-1].neighborhood_size, sp.number_of_candidates)

@@ -121,12 +121,16 @@ class HnswQuantizer:
 
     def quantize(self, vecs: jax.Array, exact: bool = False) -> jax.Array:
         """``[B, SIZE] -> [B, nsub] int32`` codes.  Graph-search per sub-vector
-        like the reference (src/pq.rs:61-71), or exact MXU argmin."""
+        like the reference (src/pq.rs:61-71), or exact blocked MXU argmin."""
         b = vecs.shape[0]
         subs = vecs.reshape(b * self.nsub, self.dsub)
         if exact:
-            d = best_pairwise_distance(subs, self.centroids, self.hnsw.metric)
-            codes = jnp.argmin(d, axis=-1)
+            from parallel_hnsw_tpu.analysis import blocked_topk_pairwise
+
+            ids, _ = blocked_topk_pairwise(
+                subs, self.centroids, self.hnsw.metric, 1, row_block=8192
+            )
+            codes = ids[:, 0]
         else:
             sp = self.pq_params.quantized_search
             ids, _ = self.hnsw.search(subs, sp, query_block=65536)
