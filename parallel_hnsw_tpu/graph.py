@@ -63,7 +63,8 @@ class PqSource(NamedTuple):
     of the reference's reconstructing quantized comparator (src/pq.rs:585-600).
     """
 
-    codes: jax.Array  # [V, Q] int32 (centroid ids per subspace)
+    codes: jax.Array  # [V, Q] integer centroid ids per subspace (uint16 for
+    # K <= 65536 — the reference's u16 codes, src/pq.rs:20 — or int32)
     codebook: jax.Array  # [K, Dsub] shared or [Q, K, Dsub] per-subspace
 
     @property
@@ -91,7 +92,7 @@ def source_get(source: Source, ids: jax.Array) -> jax.Array:
         return jnp.take(source.vectors, safe, axis=0)
     if isinstance(source, PqSource):
         safe = jnp.clip(ids, 0, source.codes.shape[0] - 1)
-        codes = jnp.take(source.codes, safe, axis=0)  # [*, Q]
+        codes = jnp.take(source.codes, safe, axis=0).astype(jnp.int32)  # [*, Q]
         return reconstruct(source.codebook, codes)
     raise TypeError(f"unknown source type {type(source)}")
 
@@ -101,6 +102,7 @@ def reconstruct(codebook: jax.Array, codes: jax.Array) -> jax.Array:
     (reference: Quantizer::reconstruct, src/pq.rs:73-81).  Accepts a shared
     ``[K, Dsub]`` or per-subspace ``[Q, K, Dsub]`` codebook."""
     nsub = codes.shape[-1]
+    codes = codes.astype(jnp.int32)
     if codebook.ndim == 2:
         k, dsub = codebook.shape
         safe = jnp.clip(codes, 0, k - 1)

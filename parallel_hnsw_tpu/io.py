@@ -60,15 +60,17 @@ def serialize_source(source: Source, path: Union[str, Path]) -> None:
         meta = {"kind": "dense", "count": vec.shape[0], "dim": vec.shape[1]}
         _write_array(path / "vectors", vec, "float32")
     elif isinstance(source, PqSource):
-        codes = np.asarray(source.codes, np.int32)
+        code_dtype = str(np.asarray(source.codes).dtype)
+        codes = np.asarray(source.codes)
         book = np.asarray(source.codebook, np.float32)
         meta = {
             "kind": "pq",
             "count": codes.shape[0],
             "nsub": codes.shape[1],
+            "code_dtype": code_dtype,
             "codebook_shape": list(book.shape),  # [K, dsub] shared or [Q, K, dsub]
         }
-        _write_array(path / "codes", codes, "int32")
+        _write_array(path / "codes", codes, code_dtype)
         _write_array(path / "codebook", book, "float32")
     else:
         raise SerializationError(f"unknown source type {type(source)}")
@@ -82,7 +84,8 @@ def deserialize_source(path: Union[str, Path]) -> Source:
         vec = _read_array(path / "vectors", "float32", (meta["count"], meta["dim"]))
         return DenseSource(vectors=jnp.asarray(vec))
     if meta["kind"] == "pq":
-        codes = _read_array(path / "codes", "int32", (meta["count"], meta["nsub"]))
+        dt = meta.get("code_dtype", "int32")
+        codes = _read_array(path / "codes", dt, (meta["count"], meta["nsub"]))
         book = _read_array(path / "codebook", "float32", tuple(meta["codebook_shape"]))
         return PqSource(codes=jnp.asarray(codes), codebook=jnp.asarray(book))
     raise SerializationError(f"unknown source kind {meta['kind']}")

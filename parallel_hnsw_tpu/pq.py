@@ -198,6 +198,7 @@ def adc_finish(partial_sums: jax.Array, metric: Metric) -> jax.Array:
 def adc_scan(lut: jax.Array, codes: jax.Array, metric: Metric) -> jax.Array:
     """Score all stored codes against per-query LUTs: ``[Q, nsub, K] x
     [N, nsub] -> [Q, N]`` via gather + subspace sum on the VPU."""
+    codes = codes.astype(jnp.int32)
     # lut[q, i, codes[n, i]] summed over i
     gathered = jnp.take_along_axis(
         lut[:, None, :, :],  # [Q, 1, nsub, K]
@@ -237,6 +238,7 @@ class QuantizedHnsw:
         use_kmeans: bool = False,
         exact_quantize: bool = False,
         chunk_size: int = 100_000,
+        code_dtype=None,
         progress: Optional[ProgressMonitor] = None,
         verbose: bool = False,
     ) -> "QuantizedHnsw":
@@ -274,8 +276,12 @@ class QuantizedHnsw:
             monitor.alive()
             chunk = full_source.vectors[start : start + chunk_size]
             codes.append(quantizer.quantize(chunk, exact=exact_quantize))
+        if code_dtype is None:
+            # reference parity: u16 codes when the codebook fits (src/pq.rs:20)
+            code_dtype = jnp.uint16 if len(centroids) <= 65536 else jnp.int32
         pq_source = PqSource(
-            codes=jnp.concatenate(codes), codebook=jnp.asarray(centroids)
+            codes=jnp.concatenate(codes).astype(code_dtype),
+            codebook=jnp.asarray(centroids),
         )
 
         hnsw = Hnsw.generate(
