@@ -69,21 +69,50 @@ class Hnsw:
         improve: bool = True,
         progress: Optional[ProgressMonitor] = None,
         verbose: bool = False,
+        checkpoint_dir: Optional[str] = None,
     ) -> "Hnsw":
         """Full ladder build (reference: Hnsw::generate, src/lib.rs:825-893),
-        running ``improve_index`` after every layer like the reference."""
+        running ``improve_index`` after every layer like the reference.
+
+        ``checkpoint_dir``: persist the stack after every ladder layer (the
+        reference only has whole-index persistence; mid-build checkpoints make
+        long builds resumable/inspectable).  Structured phase updates flow
+        through the progress monitor.
+        """
+        import time as _time
+
         bp = bp or BuildParams()
         monitor = ensure_monitor(progress)
         if vector_ids is None:
             vector_ids = jnp.arange(source.count, dtype=ID_DTYPE)
         self_ref = cls([], source, metric, bp, verbose)
+        t_start = _time.time()
 
         def improver(layers: List[Layer]) -> List[Layer]:
+            monitor.update(
+                {
+                    "type": "layer_built",
+                    "layers": [l.node_count for l in layers],
+                    "seconds": round(_time.time() - t_start, 1),
+                }
+            )
+            if checkpoint_dir is not None:
+                from parallel_hnsw_tpu.io import serialize_hnsw
+
+                self_ref.layers = layers
+                serialize_hnsw(self_ref, checkpoint_dir, store_source=False)
             if not improve:
                 return layers
             monitor.alive()
             self_ref.layers = layers
-            self_ref.improve_index(bp, progress=monitor)
+            recall = self_ref.improve_index(bp, progress=monitor)
+            monitor.update(
+                {
+                    "type": "improved",
+                    "recall": recall,
+                    "seconds": round(_time.time() - t_start, 1),
+                }
+            )
             return self_ref.layers
 
         layers = _build.generate(source, vector_ids, bp, metric, seed, improver)
@@ -96,6 +125,13 @@ class Hnsw:
                         self_ref.layers, lft, source, metric, bp.optimization.search,
                         exact_threshold=bp.optimization.exact_relink_threshold,
                     )
+            monitor.update(
+                {"type": "final_relink", "seconds": round(_time.time() - t_start, 1)}
+            )
+        if checkpoint_dir is not None:
+            from parallel_hnsw_tpu.io import serialize_hnsw
+
+            serialize_hnsw(self_ref, checkpoint_dir, store_source=False)
         return self_ref
 
     def _log(self, msg: str) -> None:

@@ -85,3 +85,29 @@ def test_selfsim(hnsw):
 def test_make_random_hnsw():
     h = make_random_hnsw(60, 8, bp=BP, seed=1)
     assert h.vector_count == 60
+
+
+def test_progress_events_and_checkpoint(tmp_path):
+    from parallel_hnsw_tpu import CallbackProgressMonitor
+    from parallel_hnsw_tpu.io import deserialize_hnsw
+
+    events = []
+    mon = CallbackProgressMonitor(on_update=events.append)
+    source = random_unit_corpus(80, 8, seed=5)
+    h = Hnsw.generate(
+        source, None, BP, Metric.NORMALIZED_COSINE, seed=5,
+        progress=mon, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    kinds = {e["type"] for e in events}
+    assert "layer_built" in kinds and "improved" in kinds
+    loaded = deserialize_hnsw(tmp_path / "ckpt", source=source)
+    assert loaded.layer_count == h.layer_count
+
+
+def test_cancellation():
+    from parallel_hnsw_tpu import CallbackProgressMonitor, Interrupt
+
+    mon = CallbackProgressMonitor(is_cancelled=lambda: True)
+    source = random_unit_corpus(80, 8, seed=5)
+    with pytest.raises(Interrupt):
+        Hnsw.generate(source, None, BP, Metric.NORMALIZED_COSINE, progress=mon)
