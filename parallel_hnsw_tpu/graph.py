@@ -16,6 +16,7 @@ vectors for ids; the metric half lives in :mod:`parallel_hnsw_tpu.ops.distance`.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence, Tuple, Union
 
 import jax
@@ -81,20 +82,31 @@ class PqSource(NamedTuple):
 Source = Union[DenseSource, PqSource]
 
 
-def source_get(source: Source, ids: jax.Array) -> jax.Array:
+@functools.singledispatch
+def source_get(source, ids: jax.Array) -> jax.Array:
     """Gather feature vectors for ``ids`` (any shape) -> ``[*ids.shape, D]``.
 
     Ids must be pre-clipped/masked by the caller; EMPTY_ID gathers garbage
     (callers mask distances of invalid slots to +inf instead).
+
+    The extensibility seam matching the reference's user-implementable
+    ``Comparator`` trait (src/lib.rs:53-74): register a custom storage with
+    ``@source_get.register`` on a pytree type exposing ``dim``/``count``.
     """
-    if isinstance(source, DenseSource):
-        safe = jnp.clip(ids, 0, source.vectors.shape[0] - 1)
-        return jnp.take(source.vectors, safe, axis=0)
-    if isinstance(source, PqSource):
-        safe = jnp.clip(ids, 0, source.codes.shape[0] - 1)
-        codes = jnp.take(source.codes, safe, axis=0).astype(jnp.int32)  # [*, Q]
-        return reconstruct(source.codebook, codes)
     raise TypeError(f"unknown source type {type(source)}")
+
+
+@source_get.register
+def _(source: DenseSource, ids: jax.Array) -> jax.Array:
+    safe = jnp.clip(ids, 0, source.vectors.shape[0] - 1)
+    return jnp.take(source.vectors, safe, axis=0)
+
+
+@source_get.register
+def _(source: PqSource, ids: jax.Array) -> jax.Array:
+    safe = jnp.clip(ids, 0, source.codes.shape[0] - 1)
+    codes = jnp.take(source.codes, safe, axis=0).astype(jnp.int32)  # [*, Q]
+    return reconstruct(source.codebook, codes)
 
 
 def reconstruct(codebook: jax.Array, codes: jax.Array) -> jax.Array:

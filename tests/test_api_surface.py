@@ -111,3 +111,35 @@ def test_cancellation():
     source = random_unit_corpus(80, 8, seed=5)
     with pytest.raises(Interrupt):
         Hnsw.generate(source, None, BP, Metric.NORMALIZED_COSINE, progress=mon)
+
+
+def test_custom_source_registration():
+    # the Comparator-trait seam: user storage via @source_get.register
+    from typing import NamedTuple
+
+    import jax
+
+    from parallel_hnsw_tpu.graph import source_get
+
+    class ScaledSource(NamedTuple):
+        vectors: jax.Array
+        scale: float
+
+        @property
+        def dim(self):
+            return self.vectors.shape[1]
+
+        @property
+        def count(self):
+            return self.vectors.shape[0]
+
+    @source_get.register
+    def _(source: ScaledSource, ids):
+        safe = jnp.clip(ids, 0, source.vectors.shape[0] - 1)
+        return jnp.take(source.vectors, safe, axis=0) * source.scale
+
+    base = random_unit_corpus(90, 8, seed=3)
+    src = ScaledSource(vectors=base.vectors, scale=1.0)
+    h = Hnsw.generate(src, None, BP, Metric.NORMALIZED_COSINE, seed=3)
+    ids, _ = h.search(base.vectors[:4])
+    np.testing.assert_array_equal(np.asarray(ids[:, 0]), np.arange(4))
