@@ -182,10 +182,11 @@ def _build_rows(vs, seed_nodes, seed_dists, cand, source, metric, m, node_block)
     return jnp.concatenate(outs_i), jnp.concatenate(outs_d)
 
 
-def _auto_node_block(c: int, dim: int, budget_bytes: int = 2 << 30) -> int:
-    """Node-block size bounding the gathered [block, c, dim] f32 working set."""
-    block = budget_bytes // max(1, c * dim * 4)
-    return int(max(256, min(16384, block)))
+def _auto_node_block(c: int, eff_width: int, budget_bytes: int = 2 << 30) -> int:
+    """Node-block size bounding the gathered [block, c, width] f32 working set
+    (width = lane-padded effective vector width, see source_effective_width)."""
+    block = budget_bytes // max(1, c * eff_width * 4)
+    return int(max(64, min(16384, block)))
 
 
 def _seed_top_layer(
@@ -222,7 +223,9 @@ def generate_layer(
     n = int(vs.shape[0])
     m = neighborhood_size
     if node_block <= 0:
-        node_block = _auto_node_block(m * 5, source.dim)
+        from parallel_hnsw_tpu.graph import source_effective_width
+
+        node_block = _auto_node_block(m * 5, source_effective_width(source))
 
     if n == 1:
         return Layer(nodes=vs, neighbors=jnp.full((1, m), EMPTY_ID, dtype=ID_DTYPE))
@@ -233,7 +236,10 @@ def generate_layer(
         )
     else:
         noc = initial_partition_search.number_of_candidates
-        queries = source_get(source, vs)
+        from parallel_hnsw_tpu.graph import gather_features
+
+        # blocked feature gathers bound the (lane-padded) PQ reconstruction
+        queries = gather_features(source, vs)
         bottom = stack[-1]
         if 0 < exact_seed_threshold and bottom.node_count <= exact_seed_threshold:
             # exact seeds: nearest stack-bottom vectors by blocked MXU scan
@@ -241,7 +247,7 @@ def generate_layer(
             # deepest stack layer"; brute force computes it faster on TPU)
             from parallel_hnsw_tpu.analysis import blocked_topk_pairwise
 
-            corpus_feats = source_get(source, bottom.nodes)
+            corpus_feats = gather_features(source, bottom.nodes)
             top_i, top_d = blocked_topk_pairwise(
                 queries, corpus_feats, metric, noc + 1, row_block=node_block
             )

@@ -129,6 +129,39 @@ def reconstruct(codebook: jax.Array, codes: jax.Array) -> jax.Array:
     return sub.reshape(codes.shape[:-1] + (nsub * dsub,))
 
 
+def source_effective_width(source) -> int:
+    """Bytes-per-vector proxy for block-size budgeting, accounting for TPU
+    lane padding: a PQ reconstruction gathers ``[*, dsub]`` rows that the
+    (8, 128) tiling pads up to 128 lanes — an 8x blow-up for dsub=16."""
+    if isinstance(source, PqSource):
+        if source.codebook.ndim == 2:
+            nsub = source.codes.shape[1]
+            dsub = source.codebook.shape[1]
+        else:
+            nsub, _, dsub = source.codebook.shape
+        return nsub * max(dsub, 128)
+    return max(source.dim, 128)
+
+
+def materialize_source(source, block: int = 16384) -> jax.Array:
+    """Densify a source to f32 ``[N, D]`` in row blocks (bounds the padded
+    reconstruction gather for PQ sources)."""
+    return gather_features(source, jnp.arange(source.count, dtype=ID_DTYPE), block)
+
+
+def gather_features(source, ids: jax.Array, block: int = 8192) -> jax.Array:
+    """source_get in row blocks for 1-D id arrays — bounds the lane-padded
+    reconstruction gather of PQ sources ([block*nsub, dsub] padded to 128
+    lanes)."""
+    n = ids.shape[0]
+    if n <= block:
+        return source_get(source, ids)
+    outs = []
+    for start in range(0, n, block):
+        outs.append(source_get(source, ids[start : start + block]))
+    return jnp.concatenate(outs)
+
+
 def vec_to_node(nodes: jax.Array, vids: jax.Array) -> jax.Array:
     """Map vector ids to node ids via binary search on the sorted ``nodes``.
 

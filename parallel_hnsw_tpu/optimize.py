@@ -122,10 +122,12 @@ def _relink_layer_blocked(
     n, m = neighbors.shape
 
     match_nodes_parts, match_d_parts, row_d_parts = [], [], []
+    from parallel_hnsw_tpu.graph import gather_features
+
     for start in range(0, n, node_block):
         stop = min(start + node_block, n)
         block_nodes = nodes[start:stop]
-        queries = source_get(source, block_nodes)
+        queries = gather_features(source, block_nodes)
         res_ids, res_d = _search_host(
             layers, source, metric, queries, sp, exclude=block_nodes
         )
@@ -169,7 +171,9 @@ def _relink_layer_exact(
 
     nodes, neighbors = layer.nodes, layer.neighbors
     n, m = neighbors.shape
-    feats = source_get(source, nodes)
+    from parallel_hnsw_tpu.graph import gather_features
+
+    feats = gather_features(source, nodes)
     match_nodes, match_d = blocked_topk_pairwise(
         feats, feats, metric, match_count, row_block=4096, exclude_diag_offset=0
     )

@@ -310,9 +310,11 @@ class QuantizedHnsw:
         sp = sp or self.hnsw.build_parameters.optimization.search
         if query_block <= 0:
             # the code-graph hop reconstructs [Q, beam*M, SIZE] candidate
-            # vectors; bound the block so high-dim PQ stays within HBM
-            dim = self.full_source.dim
-            query_block = max(256, min(8192, (1 << 22) // max(dim, 1)))
+            # vectors (lane-padded); bound the block so high-dim PQ stays in HBM
+            from parallel_hnsw_tpu.graph import source_effective_width
+
+            eff = source_effective_width(self.hnsw.source)
+            query_block = max(64, min(8192, (2 << 30) // (sp.beam_width * 48 * eff * 4)))
         qcodes = self.quantizer.quantize(queries, exact=exact_quantize)
         qrecon = self.quantizer.reconstruct(qcodes)
         ids, dists = self.hnsw.search(qrecon, sp, query_block=query_block)

@@ -18,6 +18,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-from parallel_hnsw_tpu.utils.cache import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache()
+# NOTE: do NOT enable the persistent compilation cache here — XLA:CPU AOT
+# blobs are machine-feature-sensitive and loading them can SIGSEGV/SIGILL
+# ("Compile machine features ... vs host machine features" loader errors).
+# CPU compiles are fast; the cache is for the TPU tunnel only.
