@@ -336,34 +336,45 @@ class QuantizedHnsw:
         queries: jax.Array,
         k: int = 10,
         rerank: bool = True,
-        code_block: int = 1 << 20,
-        query_block: int = 1024,
+        code_block: int = 1 << 16,
+        query_block: int = 4096,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Flat ADC scan over all codes + optional exact rerank.
+        """Flat scan over all codes + optional exact rerank.
 
-        Per-query ``[nsub, K]`` partial-distance tables score the entire code
-        array on the VPU (no graph traversal, no reconstruction) — the fast
-        path for PQ corpora on TPU, where brute scans outrun sparse gathers.
+        Scores the whole compressed corpus without graph traversal.  On TPU
+        the winning formulation is blocked reconstruct-then-matmul: codes stay
+        compressed at rest; each code block is transiently decoded ([block, D])
+        and contracted against the query block on the MXU — mathematically
+        identical to ADC LUT summation (validated against :func:`adc_scan`)
+        but gather-light and MXU-bound.
         """
         pq_src = self.hnsw.source
         assert isinstance(pq_src, PqSource)
         metric = self.hnsw.metric
         n = pq_src.count
+        from parallel_hnsw_tpu.graph import gather_features
+        from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def score_block(q, codes, codebook, offset, k):
+            feats = reconstruct(codebook, codes)
+            d = best_pairwise_distance(q, feats, metric)
+            neg_d, idx = jax.lax.top_k(-d, k)
+            return (idx + offset).astype(ID_DTYPE), -neg_d
+
         out_i, out_d = [], []
         for qs in range(0, queries.shape[0], query_block):
             q = queries[qs : qs + query_block]
-            lut = adc_lut(q, pq_src.codebook, metric)
             best_i, best_d = None, None
             for cs in range(0, n, code_block):
                 codes = pq_src.codes[cs : cs + code_block]
-                d = adc_scan(lut, codes, metric)  # [q, block]
-                neg_d, idx = jax.lax.top_k(-d, min(k, codes.shape[0]))
-                idx = (idx + cs).astype(ID_DTYPE)
+                kk = min(k, codes.shape[0])
+                idx, dd = score_block(q, codes, pq_src.codebook, cs, kk)
                 if best_i is None:
-                    best_i, best_d = idx, -neg_d
+                    best_i, best_d = idx, dd
                 else:
                     best_i = jnp.concatenate([best_i, idx], axis=-1)
-                    best_d = jnp.concatenate([best_d, -neg_d], axis=-1)
+                    best_d = jnp.concatenate([best_d, dd], axis=-1)
                     bd, bi = jax.lax.sort((best_d, best_i), num_keys=1)
                     best_i, best_d = bi[:, :k], bd[:, :k]
             out_i.append(best_i)
