@@ -271,7 +271,7 @@ def stochastic_recall_at(
         idx = rng.permutation(total)[:selection]
         sample = jnp.take(layer.nodes, jnp.asarray(idx, ID_DTYPE))
     queries = source_get(source, sample)
-    ids, _ = search(list(layers), source, metric, queries, op.search, query_block=8192)
+    ids, _ = search(list(layers), source, metric, queries, op.search)
     found = np.any(np.asarray(ids) == np.asarray(sample)[:, None], axis=-1)
     return float(found.mean())
 

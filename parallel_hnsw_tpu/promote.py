@@ -42,7 +42,7 @@ def discover_unreachable_vectors(
     source: Source,
     metric: Metric,
     sp: SearchParams,
-    query_block: int = 8192,
+    query_block: int = 0,
 ) -> np.ndarray:
     """Vector ids in layer ``layer_id_from_top`` that cannot find themselves
     searching the sub-stack, and are not in the layer above

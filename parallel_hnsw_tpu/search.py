@@ -482,6 +482,17 @@ def _search_stack_jit(
     return search_stack(layers, source, metric, queries, sp, exclude)
 
 
+def auto_query_block(source: Source, sp: SearchParams, max_m: int, budget_bytes: int = 2 << 30) -> int:
+    """Query-block size bounding the per-hop gathered candidate block
+    ``[Q, beam*M, width]`` where width is the lane-padded effective vector
+    width (PQ reconstructions pad dsub up to 128 lanes)."""
+    from parallel_hnsw_tpu.graph import source_effective_width
+
+    eff = source_effective_width(source)
+    qb = budget_bytes // max(1, sp.beam_width * max_m * eff * 4)
+    return int(max(64, min(8192, qb)))
+
+
 def _query_bucket(q: int) -> int:
     """Round a query count up to a shape bucket (1-2-3 x powers of two) so
     varying batch sizes reuse compiled programs."""
@@ -535,6 +546,11 @@ def search(
     drifting shapes (promotions, recall samples) reuse compiled programs.
     """
     from parallel_hnsw_tpu.graph import pad_layer
+
+    if layers and query_block <= 0:
+        # bound the per-hop gathered candidate block by memory budget
+        max_m = max(l.neighborhood_size for l in layers)
+        query_block = auto_query_block(source, sp, max_m)
 
     flat = []
     for l in layers:

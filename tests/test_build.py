@@ -84,3 +84,16 @@ def test_build_deterministic():
     for la, lb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(la.nodes), np.asarray(lb.nodes))
         np.testing.assert_array_equal(np.asarray(la.neighbors), np.asarray(lb.neighbors))
+
+
+def test_euclidean_build_and_search():
+    # reference: test_euclidean (src/lib.rs:2449-2460) at test scale —
+    # unnormalized vectors, true L2 metric
+    from parallel_hnsw_tpu.index import Hnsw
+    from parallel_hnsw_tpu.utils.data import random_corpus
+
+    source = random_corpus(800, 32, seed=13)
+    bp = BuildParams()
+    hnsw = Hnsw.generate(source, None, bp, Metric.EUCLIDEAN, seed=13)
+    recall = first_hit_recall(hnsw.layers, source, Metric.EUCLIDEAN, bp.optimization.search)
+    assert recall >= 0.95, recall
