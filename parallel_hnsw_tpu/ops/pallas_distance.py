@@ -93,7 +93,21 @@ def pallas_pairwise_distance(
 
 
 def best_pairwise_distance(x: jax.Array, y: jax.Array, metric: Metric) -> jax.Array:
-    """Dispatch: Pallas kernel on TPU, XLA elsewhere."""
-    if jax.default_backend() in ("tpu", "axon"):
+    """Dispatch: Pallas kernel on TPU, XLA elsewhere.
+
+    Checks the operand's actual placement, not just the global backend — a
+    TPU-backed process may run shard builds on virtual CPU devices via
+    ``jax.default_device`` (the multi-chip dry run does)."""
+    platform = None
+    try:
+        devs = getattr(x, "devices", None)
+        if callable(devs):
+            platform = next(iter(x.devices())).platform
+    except Exception:
+        platform = None
+    if platform is None:
+        dd = jax.config.jax_default_device
+        platform = dd.platform if dd is not None else jax.default_backend()
+    if platform in ("tpu", "axon"):
         return pallas_pairwise_distance(x, y, metric)
     return pairwise_distance(x, y, metric)

@@ -22,3 +22,17 @@ jax.config.update("jax_enable_x64", False)
 # blobs are machine-feature-sensitive and loading them can SIGSEGV/SIGILL
 # ("Compile machine features ... vs host machine features" loader errors).
 # CPU compiles are fast; the cache is for the TPU tunnel only.
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU has crashed (SIGSEGV) deep into long suite runs with hundreds
+    of live compiled executables; dropping them between modules keeps the
+    native runtime state small.  Individual modules recompile what they need."""
+    yield
+    import jax
+
+    jax.clear_caches()
