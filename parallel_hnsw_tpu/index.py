@@ -55,6 +55,7 @@ class Hnsw:
         self.metric = Metric(metric)
         self.build_parameters = build_parameters or BuildParams()
         self.verbose = verbose
+        self._dense_cache = None
 
     # -- construction --------------------------------------------------------
 
@@ -115,14 +116,16 @@ class Hnsw:
             )
             return self_ref.layers
 
-        layers = _build.generate(source, vector_ids, bp, metric, seed, improver)
+        build_source = self_ref.compute_source  # densified for PQ (same distances)
+        layers = _build.generate(build_source, vector_ids, bp, metric, seed, improver)
         self_ref.layers = layers
         if improve and bp.final_relink_sweeps > 0:
             for _ in range(bp.final_relink_sweeps):
                 monitor.alive()
                 for lft in range(self_ref.layer_count):
                     self_ref.layers, _ = _optimize.link_layer_to_better_neighbors(
-                        self_ref.layers, lft, source, metric, bp.optimization.search,
+                        self_ref.layers, lft, build_source, metric,
+                        bp.optimization.search,
                         exact_threshold=bp.optimization.exact_relink_threshold,
                     )
             monitor.update(
@@ -133,6 +136,29 @@ class Hnsw:
 
             serialize_hnsw(self_ref, checkpoint_dir, store_source=False)
         return self_ref
+
+    # Densified compute cache: PQ reconstruction is deterministic, so when
+    # the decoded corpus fits in HBM every compute phase can run against a
+    # dense copy — identical distances, ~100x fewer gathers per hop (each
+    # candidate costs 1 row gather instead of 1 + nsub sub-row gathers).
+    DENSIFY_BUDGET_BYTES = 4 << 30
+
+    @property
+    def compute_source(self) -> Source:
+        from parallel_hnsw_tpu.graph import DenseSource, PqSource, materialize_source
+
+        if not isinstance(self.source, PqSource):
+            return self.source
+        if self.source.count * self.source.dim * 4 > self.DENSIFY_BUDGET_BYTES:
+            return self.source
+        if (
+            self._dense_cache is None
+            or self._dense_cache.count != self.source.count
+        ):
+            self._dense_cache = DenseSource(
+                vectors=materialize_source(self.source)
+            )
+        return self._dense_cache
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -184,7 +210,7 @@ class Hnsw:
         ``(vector_ids [Q, ef], dists [Q, ef])``."""
         sp = sp or self.build_parameters.optimization.search
         return _search(
-            self.layers, self.source, self.metric, queries, sp, exclude, query_block
+            self.layers, self.compute_source, self.metric, queries, sp, exclude, query_block
         )
 
     def search_instrumented(
@@ -199,7 +225,7 @@ class Hnsw:
         from parallel_hnsw_tpu.search import search_instrumented as _si
 
         sp = sp or self.build_parameters.optimization.search
-        return _si(self.layers, self.source, self.metric, queries, sp, exclude)
+        return _si(self.layers, self.compute_source, self.metric, queries, sp, exclude)
 
     def search_upto(
         self,
@@ -209,7 +235,7 @@ class Hnsw:
     ) -> Tuple[jax.Array, jax.Array]:
         sp = sp or self.build_parameters.optimization.search
         return _search(
-            self.layers[:upto_layer_from_top], self.source, self.metric, queries, sp
+            self.layers[:upto_layer_from_top], self.compute_source, self.metric, queries, sp
         )
 
     def search_exact(self, queries: jax.Array, k: int = 10, query_block: int = 4096):
@@ -222,12 +248,12 @@ class Hnsw:
         against."""
         from parallel_hnsw_tpu.analysis import brute_force_knn
 
-        return brute_force_knn(self.source, queries, self.metric, k, query_block)
+        return brute_force_knn(self.compute_source, queries, self.metric, k, query_block)
 
     def search_ids(self, vector_ids, sp=None, exclude_self: bool = False):
         """Search with stored vectors as queries (AbstractVector::Stored)."""
         vector_ids = jnp.asarray(vector_ids, ID_DTYPE)
-        queries = source_get(self.source, vector_ids)
+        queries = source_get(self.compute_source, vector_ids)
         exclude = vector_ids if exclude_self else None
         return self.search(queries, sp, exclude=exclude)
 
@@ -274,13 +300,13 @@ class Hnsw:
     def _bottom_layer_self_search(self, start: int, stop: int, cap: int, sp: SearchParams):
         layer = self.layers[-1]
         q_count = stop - start
-        queries = source_get(self.source, layer.nodes[start:stop])
+        queries = source_get(self.compute_source, layer.nodes[start:stop])
         init_ids, init_dists = empty_queue(cap, (q_count,))
         init_ids = init_ids.at[:, 0].set(jnp.arange(start, stop, dtype=ID_DTYPE))
         init_dists = init_dists.at[:, 0].set(0.0)
         state = _bottom_search_jit(
             layer,
-            self.source,
+            self.compute_source,
             self.metric,
             queries,
             init_ids,
@@ -339,18 +365,18 @@ class Hnsw:
 
     def stochastic_recall_at(self, at: int, op: Optional[OptimizationParams] = None) -> float:
         op = op or self.build_parameters.optimization
-        return _optimize.stochastic_recall_at(self.layers, at, self.source, self.metric, op)
+        return _optimize.stochastic_recall_at(self.layers, at, self.compute_source, self.metric, op)
 
     def stochastic_recall(self, op: Optional[OptimizationParams] = None) -> float:
         op = op or self.build_parameters.optimization
-        return _optimize.stochastic_recall(self.layers, self.source, self.metric, op)
+        return _optimize.stochastic_recall(self.layers, self.compute_source, self.metric, op)
 
     def improve_neighbors(
         self, op: Optional[OptimizationParams] = None, last_recall: Optional[float] = None
     ) -> float:
         op = op or self.build_parameters.optimization
         self.layers, recall = _optimize.improve_neighbors(
-            self.layers, self.source, self.metric, op, last_recall
+            self.layers, self.compute_source, self.metric, op, last_recall
         )
         return recall
 
@@ -367,7 +393,7 @@ class Hnsw:
             return sub.layers
 
         return _promote.promote_at_layer(
-            layers, lft, bp, self.source, self.metric, generate_fn,
+            layers, lft, bp, self.compute_source, self.metric, generate_fn,
             log=self._log if self.verbose else None,
         )
 
@@ -430,7 +456,7 @@ class Hnsw:
     ) -> np.ndarray:
         sp = sp or self.build_parameters.optimization.search
         return _promote.discover_unreachable_vectors(
-            self.layers, layer_id_from_top, self.source, self.metric, sp
+            self.layers, layer_id_from_top, self.compute_source, self.metric, sp
         )
 
     def extend_layer(self, layer_id: int, vecs: np.ndarray) -> None:

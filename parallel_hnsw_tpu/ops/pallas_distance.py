@@ -59,18 +59,26 @@ def pallas_pairwise_distance(
     x: jax.Array,
     y: jax.Array,
     metric: Metric,
-    tile_q: int = 256,
-    tile_c: int = 512,
+    tile_q: int = 0,
+    tile_c: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """``[Q, D] x [C, D] -> [Q, C]`` distances via a tiled Pallas kernel.
 
     Inputs are zero-padded up to tile multiples; padding rows produce garbage
-    distances that the caller's shape slice drops.
+    distances that the caller's shape slice drops.  Tile sizes auto-scale with
+    D so the double-buffered VMEM working set stays under the ~16MB budget.
     """
     metric = Metric(metric)
     q, d = x.shape
     c, _ = y.shape
+    if tile_q <= 0 or tile_c <= 0:
+        # (tile_q + tile_c) * D * 4B * 2 (double buffer) + out tiles <= ~12MB
+        budget_rows = max(128, (12 << 20) // (d * 4 * 2))
+        tile_q = tile_q or min(256, max(64, budget_rows // 3))
+        tile_c = tile_c or min(512, max(128, budget_rows - min(256, budget_rows // 3)))
+        tile_q = _round_up(tile_q, 8)
+        tile_c = _round_up(tile_c, 128)
     qp = _round_up(q, tile_q)
     cp = _round_up(c, tile_c)
     if qp != q:
