@@ -73,12 +73,13 @@ def pallas_pairwise_distance(
     q, d = x.shape
     c, _ = y.shape
     if tile_q <= 0 or tile_c <= 0:
-        # (tile_q + tile_c) * D * 4B * 2 (double buffer) + out tiles <= ~12MB
-        budget_rows = max(128, (12 << 20) // (d * 4 * 2))
-        tile_q = tile_q or min(256, max(64, budget_rows // 3))
-        tile_c = tile_c or min(512, max(128, budget_rows - min(256, budget_rows // 3)))
-        tile_q = _round_up(tile_q, 8)
-        tile_c = _round_up(tile_c, 128)
+        # VMEM per grid cell ≈ (tile_q + tile_c) * D * 4B * 2 (double buffer)
+        # * ~1.6 (euclidean temporaries + pipeline slack), must stay < 16MB.
+        rows_budget = max(192, (10 << 20) // (d * 13))
+        tq = min(256, max(64, rows_budget // 4))
+        tile_q = tile_q or max(64, (tq // 8) * 8)
+        tc = min(512, max(128, rows_budget - tile_q))
+        tile_c = tile_c or max(128, (tc // 128) * 128)
     qp = _round_up(q, tile_q)
     cp = _round_up(c, tile_c)
     if qp != q:
