@@ -382,8 +382,10 @@ class Hnsw:
 
     def _promoter(self, layers: List[Layer], lft: int, bp: BuildParams):
         def generate_fn(vecs: np.ndarray, new_bp: BuildParams) -> List[Layer]:
+            # the ephemeral top-stack rebuild can use the densified compute
+            # source directly (only its layers are spliced back)
             sub = Hnsw.generate(
-                self.source,
+                self.compute_source,
                 jnp.asarray(vecs, ID_DTYPE),
                 new_bp,
                 self.metric,
@@ -418,7 +420,7 @@ class Hnsw:
         self.layers, recall = _optimize.improve_index(
             self.layers,
             bp,
-            self.source,
+            self.compute_source,
             self.metric,
             last_recall,
             promoter,
