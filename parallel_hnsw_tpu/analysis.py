@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
+from parallel_hnsw_tpu.constants import EMPTY_ID, ID_DTYPE
 from parallel_hnsw_tpu.graph import Layer, Source, source_get, vec_to_node
 from parallel_hnsw_tpu.ops.distance import Metric, pairwise_distance
 from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance

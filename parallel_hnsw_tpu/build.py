@@ -20,13 +20,13 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from parallel_hnsw_tpu.constants import DIST_DTYPE, EMPTY_DIST, EMPTY_ID, ID_DTYPE
+from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
 from parallel_hnsw_tpu.graph import (
     Layer,
     Source,

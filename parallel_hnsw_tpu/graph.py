@@ -17,7 +17,7 @@ vectors for ids; the metric half lives in :mod:`parallel_hnsw_tpu.ops.distance`.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Sequence, Tuple, Union
+from typing import NamedTuple, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ discover_unreachable_vectors, extend_layer, plus persistence in
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,16 +19,15 @@ import numpy as np
 from parallel_hnsw_tpu import build as _build
 from parallel_hnsw_tpu import optimize as _optimize
 from parallel_hnsw_tpu import promote as _promote
-from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
+from parallel_hnsw_tpu.constants import EMPTY_ID, ID_DTYPE
 from parallel_hnsw_tpu.graph import (
     Layer,
     Source,
     assert_layer_invariants,
-    node_to_vec,
     source_get,
 )
 from parallel_hnsw_tpu.ops.distance import Metric
-from parallel_hnsw_tpu.ops.queues import empty_queue, merge_queue, sort_queue
+from parallel_hnsw_tpu.ops.queues import empty_queue
 from parallel_hnsw_tpu.params import BuildParams, OptimizationParams, SearchParams
 from parallel_hnsw_tpu.progress import ProgressMonitor, ensure_monitor
 from parallel_hnsw_tpu.search import search as _search

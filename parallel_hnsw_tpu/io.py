@@ -12,22 +12,16 @@ format is portable across hosts.
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 from typing import Optional, Union
 
 import jax.numpy as jnp
 import numpy as np
 
-from parallel_hnsw_tpu.constants import ID_DTYPE
 from parallel_hnsw_tpu.graph import DenseSource, Layer, PqSource, Source
 from parallel_hnsw_tpu.index import Hnsw
 from parallel_hnsw_tpu.ops.distance import Metric
-from parallel_hnsw_tpu.params import (
-    BuildParams,
-    build_params_from_dict,
-    params_to_dict,
-)
+from parallel_hnsw_tpu.params import build_params_from_dict, params_to_dict
 
 FORMAT_VERSION = 1
 

@@ -12,12 +12,12 @@ ascending by ``(dist, id)`` with EMPTY sentinels sorting last.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from parallel_hnsw_tpu.constants import DIST_DTYPE, EMPTY_DIST, EMPTY_ID, ID_DTYPE
+from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID
 
 
 def _lex_less(d1, i1, d2, i2):

@@ -16,7 +16,7 @@ codebook).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

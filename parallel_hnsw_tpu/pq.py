@@ -20,7 +20,7 @@ row-sums score whole candidate blocks on the VPU.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -352,7 +352,6 @@ class QuantizedHnsw:
         assert isinstance(pq_src, PqSource)
         metric = self.hnsw.metric
         n = pq_src.count
-        from parallel_hnsw_tpu.graph import gather_features
         from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
 
         @functools.partial(jax.jit, static_argnames=("k",))

@@ -8,7 +8,7 @@ native library.
 from __future__ import annotations
 
 import os
-from typing import Iterator, Tuple
+from typing import Iterator
 
 import numpy as np
 
