@@ -320,16 +320,29 @@ class QuantizedHnsw:
         ids, dists = self.hnsw.search(qrecon, sp, query_block=query_block)
         if not rerank:
             return ids, dists
-        # exact rerank of every returned candidate with the full-precision
-        # vectors, resorted by (distance, id)
+        return self._rerank(queries, ids)
+
+    def _rerank(self, queries, ids, block_budget: int = 1 << 30):
+        """Exact rerank of every returned candidate with the full-precision
+        vectors, resorted by (distance, id) (reference: src/pq.rs:354-363).
+        Blocked over queries so the gathered [Q, ef, D] stays within budget."""
         from parallel_hnsw_tpu.ops.distance import batched_distance
 
-        safe = jnp.clip(ids, 0, self.full_source.count - 1)
-        cand = source_get(self.full_source, safe)
-        d = batched_distance(queries, cand, self.hnsw.metric)
-        d = jnp.where(ids == EMPTY_ID, jnp.inf, d)
-        r_ids, r_d = sort_queue(ids, d)
-        return r_ids, r_d
+        ef = ids.shape[1]
+        dim = self.full_source.dim
+        qb = max(64, block_budget // max(1, ef * dim * 4))
+        out_i, out_d = [], []
+        for qs in range(0, queries.shape[0], qb):
+            q = queries[qs : qs + qb]
+            block_ids = ids[qs : qs + qb]
+            safe = jnp.clip(block_ids, 0, self.full_source.count - 1)
+            cand = source_get(self.full_source, safe)
+            d = batched_distance(q, cand, self.hnsw.metric)
+            d = jnp.where(block_ids == EMPTY_ID, jnp.inf, d)
+            r_ids, r_d = sort_queue(block_ids, d)
+            out_i.append(r_ids)
+            out_d.append(r_d)
+        return jnp.concatenate(out_i), jnp.concatenate(out_d)
 
     def search_exact(
         self,
@@ -381,13 +394,7 @@ class QuantizedHnsw:
         ids = jnp.concatenate(out_i)
         dists = jnp.concatenate(out_d)
         if rerank:
-            from parallel_hnsw_tpu.ops.distance import batched_distance
-
-            safe = jnp.clip(ids, 0, self.full_source.count - 1)
-            cand = source_get(self.full_source, safe)
-            d = batched_distance(queries, cand, metric)
-            d = jnp.where(ids == EMPTY_ID, jnp.inf, d)
-            ids, dists = sort_queue(ids, d)
+            ids, dists = self._rerank(queries, ids)
         return ids, dists
 
     # delegates (reference: src/pq.rs:366-410)
