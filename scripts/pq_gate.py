@@ -16,11 +16,21 @@ source = random_unit_corpus(100_000, 1536, seed=3)
 pqp = PqBuildParams()
 mon = CallbackProgressMonitor(on_update=lambda e: print("ev:", e, flush=True))
 t0 = time.time()
-q = QuantizedHnsw.new(
-    number_of_centroids=65_535, full_source=source, dsub=16, metric=M,
-    pqp=pqp, seed=0, exact_quantize=True, progress=mon,
-)
-print(f"PQ BUILD 100k x 1536 (65535 centroids, 96x16 codes): {time.time()-t0:.1f}s", flush=True)
+import os
+from parallel_hnsw_tpu.io import serialize_quantized_hnsw, deserialize_quantized_hnsw
+CKPT = "/tmp/pq_gate_index"
+if os.path.exists(CKPT + "/hnsw/meta"):
+    print("loading checkpoint", flush=True)
+    q = deserialize_quantized_hnsw(CKPT)
+else:
+    q = QuantizedHnsw.new(
+        number_of_centroids=65_535, full_source=source, dsub=16, metric=M,
+        pqp=pqp, seed=0, exact_quantize=True, progress=mon,
+    )
+    print(f"PQ BUILD 100k x 1536 (65535 centroids, 96x16 codes): {time.time()-t0:.1f}s", flush=True)
+    q.full_source = source
+    serialize_quantized_hnsw(q, CKPT)
+    print("checkpointed", flush=True)
 total = 10000
 t0 = time.time()
 ids, dists = q.search(source.vectors[:total], rerank=True, exact_quantize=True)
