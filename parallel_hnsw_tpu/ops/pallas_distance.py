@@ -26,7 +26,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _dist_kernel(x_ref, y_ref, out_ref, *, metric: Metric):
+def _dist_kernel(x_ref, y_ref, out_ref, *, metric: Metric, exact: bool):
     x = x_ref[:]  # [TQ, D]
     y = y_ref[:]  # [TC, D]
     dots = jax.lax.dot_general(
@@ -34,7 +34,7 @@ def _dist_kernel(x_ref, y_ref, out_ref, *, metric: Metric):
         y,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT,
     )
     if metric is Metric.COSINE:
         out_ref[:] = 1.0 - dots
@@ -53,7 +53,7 @@ def _dist_kernel(x_ref, y_ref, out_ref, *, metric: Metric):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "tile_q", "tile_c", "interpret")
+    jax.jit, static_argnames=("metric", "tile_q", "tile_c", "interpret", "exact")
 )
 def pallas_pairwise_distance(
     x: jax.Array,
@@ -62,6 +62,7 @@ def pallas_pairwise_distance(
     tile_q: int = 0,
     tile_c: int = 0,
     interpret: bool = False,
+    exact: bool = True,
 ) -> jax.Array:
     """``[Q, D] x [C, D] -> [Q, C]`` distances via a tiled Pallas kernel.
 
@@ -88,7 +89,7 @@ def pallas_pairwise_distance(
         y = jnp.concatenate([y, jnp.zeros((cp - c, d), y.dtype)])
 
     out = pl.pallas_call(
-        functools.partial(_dist_kernel, metric=metric),
+        functools.partial(_dist_kernel, metric=metric, exact=exact),
         out_shape=jax.ShapeDtypeStruct((qp, cp), jnp.float32),
         grid=(qp // tile_q, cp // tile_c),
         in_specs=[
@@ -101,7 +102,9 @@ def pallas_pairwise_distance(
     return out[:q, :c]
 
 
-def best_pairwise_distance(x: jax.Array, y: jax.Array, metric: Metric) -> jax.Array:
+def best_pairwise_distance(
+    x: jax.Array, y: jax.Array, metric: Metric, exact: bool = True
+) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA elsewhere.
 
     Checks the operand's actual placement, not just the global backend — a
@@ -118,5 +121,5 @@ def best_pairwise_distance(x: jax.Array, y: jax.Array, metric: Metric) -> jax.Ar
         dd = jax.config.jax_default_device
         platform = dd.platform if dd is not None else jax.default_backend()
     if platform in ("tpu", "axon"):
-        return pallas_pairwise_distance(x, y, metric)
+        return pallas_pairwise_distance(x, y, metric, exact=exact)
     return pairwise_distance(x, y, metric)

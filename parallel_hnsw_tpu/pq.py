@@ -367,10 +367,12 @@ class QuantizedHnsw:
         n = pq_src.count
         from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
 
+        # scan precision: bf16 MXU passes are ~5x faster and the exact rerank
+        # restores full-precision ordering of the survivors
         @functools.partial(jax.jit, static_argnames=("k",))
         def score_block(q, codes, codebook, offset, k):
             feats = reconstruct(codebook, codes)
-            d = best_pairwise_distance(q, feats, metric)
+            d = best_pairwise_distance(q, feats, metric, exact=not rerank)
             neg_d, idx = jax.lax.top_k(-d, k)
             return (idx + offset).astype(ID_DTYPE), -neg_d
 
@@ -395,6 +397,7 @@ class QuantizedHnsw:
         dists = jnp.concatenate(out_d)
         if rerank:
             ids, dists = self._rerank(queries, ids)
+            ids, dists = ids[:, :k_out], dists[:, :k_out]
         return ids, dists
 
     # delegates (reference: src/pq.rs:366-410)

@@ -8,7 +8,7 @@ the blocked reconstruct-then-matmul scan throughput at 10M x (96x16) codes =
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, "/root/repo")
 
 from parallel_hnsw_tpu.utils.cache import enable_compilation_cache
 
