@@ -10,10 +10,17 @@ Other BASELINE.md configs: ``--mode pq`` (PQ codebook + code graph + rerank),
 ``--mode sharded`` (mesh-sharded search), ``--dataset x.fvecs`` (real dataset
 via the native loader, e.g. SIFT1M when files are available).
 
-The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is measured
-against REF_SINGLE_CORE_QPS — an estimate of the Rust reference's single-core
-query throughput on this workload (ef=300, ~3-5k distance evals/query on a
-modern core ≈ 1000 QPS).  The driver-set target is 10x that per chip.
+The reference publishes no numbers (BASELINE.md) and the Rust toolchain is
+absent, so ``vs_baseline`` divides by REF_SINGLE_CORE_QPS — a *derived* bound
+on the Rust reference's single-core query throughput on this workload
+(scripts/derive_baseline.py): the instrumented search measures 10,076 distance
+evaluations/query at the reference's default operating point (ef=300,
+probe_depth=2); at 40 ns per evaluation on one modern x86 core — 100-d f32
+dot ≈ 4 ns AVX2-resident plus the reference's per-expansion overhead (dynamic
+``compare_vec`` dispatch, OrderedFloat Vec sorts per pop, binary-search queue
+inserts; src/lib.rs:199-244, priority_queue.rs:70-107) — that is ~2,481 QPS,
+rounded to 2,500.  The optimistic 15 ns/eval bound is ~6,600 QPS.  The
+driver-set target is 10x the single-core number per chip.
 """
 
 from __future__ import annotations
@@ -25,7 +32,7 @@ import time
 
 import numpy as np
 
-REF_SINGLE_CORE_QPS = 1000.0
+REF_SINGLE_CORE_QPS = 2500.0  # derived — see module docstring + BENCH_NOTES.md
 
 
 def main() -> None:
@@ -45,6 +52,19 @@ def main() -> None:
     p.add_argument("--probe-depth", type=int, default=8)
     p.add_argument("--query-block", type=int, default=2048)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument(
+        "--fixed-op",
+        action="store_true",
+        help="skip the operating-point selection and bench at the reference "
+        "default (ef=300) only",
+    )
+    p.add_argument(
+        "--recall-floor",
+        type=float,
+        default=0.95,
+        help="recall@10 floor for the operating-point selection (the driver "
+        "target: QPS at recall@10 >= 0.95, BASELINE.md)",
+    )
     args = p.parse_args()
 
     from parallel_hnsw_tpu.utils.cache import enable_compilation_cache
@@ -117,23 +137,44 @@ def main() -> None:
     gt_ids, _ = brute_force_knn(source, q_eval, metric, 10)
     gt = np.asarray(gt_ids)
 
-    # warmup (compile)
-    ids, dists = search_fn(q_eval)
-    got = np.asarray(ids[:, :10])
-    inter = np.asarray(
-        [len(np.intersect1d(got[i], gt[i])) for i in range(0, len(gt), 97)]
-    )
-    recall_at_10 = float(inter.mean() / 10.0)
+    def measure(fn):
+        ids, dists = fn(q_eval)  # warmup (compile)
+        got = np.asarray(ids[:, :10])
+        inter = np.asarray(
+            [len(np.intersect1d(got[i], gt[i])) for i in range(0, len(gt), 97)]
+        )
+        recall = float(inter.mean() / 10.0)
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.time()
+            out = fn(q_eval)
+            # force completion via host readback — block_until_ready is
+            # unreliable on the tunneled runtime
+            _ = int(np.asarray(out[0][-1, 0]))
+            best = min(best, time.time() - t0)
+        return recall, len(gt) / best
 
-    best = float("inf")
-    for _ in range(args.repeats):
-        t0 = time.time()
-        out = search_fn(q_eval)
-        # force completion via host readback — block_until_ready is unreliable
-        # on the tunneled runtime
-        _ = int(np.asarray(out[0][-1, 0]))
-        best = min(best, time.time() - t0)
-    qps = len(gt) / best
+    recall_at_10, qps = measure(search_fn)
+
+    if args.mode == "dense" and not args.fixed_op:
+        # Operating-point selection: the driver target is QPS at
+        # recall@10 >= recall_floor (BASELINE.md:20-21), so bench the graph at
+        # progressively cheaper (ef, probe_depth) points and keep the fastest
+        # one that clears the floor.  The ef=300 reference-default number above
+        # remains the parity anchor.
+        for ef, pd in ((100, 2), (60, 2), (40, 2), (24, 2)):
+            sp_try = sp.replace(
+                number_of_candidates=ef,
+                upper_layer_candidate_count=min(ef, sp.upper_layer_candidate_count),
+                probe_depth=pd,
+            )
+            r, q_ = measure(lambda qq: index.search(qq, sp_try, query_block=args.query_block))
+            print(f"# op point ef={ef} pd={pd}: recall@10={r:.4f} qps={q_:.0f}",
+                  file=sys.stderr)
+            if r < args.recall_floor:
+                break
+            if q_ > qps:
+                recall_at_10, qps, sp = r, q_, sp_try
 
     build_note = (
         "no build" if build_s != build_s else f"{build_s:.1f}s ({build_rate:.0f} vec/s)"

@@ -66,7 +66,7 @@ def calculate_partitions(total_size: int, order: int) -> List[int]:
 
 
 @functools.partial(jax.jit, static_argnames=("n", "c"))
-def _candidate_pool(key, seed_nodes, seed_dists, n: int, c: int):
+def _candidate_pool(key, seed_nodes, n: int, c: int):
     """Per-node random candidate picks across seed partitions.
 
     Mirrors the partition-group + ``choose_n`` structure of the reference
@@ -272,7 +272,7 @@ def generate_layer(
         )
 
     c = m * 5
-    cand = _candidate_pool(key, seed_nodes, seed_dists, n, c)
+    cand = _candidate_pool(key, seed_nodes, n, c)
     fwd_ids, fwd_d = _build_rows(
         vs, seed_nodes, seed_dists, cand, source, metric, m, node_block
     )

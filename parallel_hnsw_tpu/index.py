@@ -105,7 +105,8 @@ class Hnsw:
                 return layers
             monitor.alive()
             self_ref.layers = layers
-            recall = self_ref.improve_index(bp, progress=monitor)
+            with monitor.keep_alive():  # scope guard, reference: keepalive!
+                recall = self_ref.improve_index(bp, progress=monitor)
             monitor.update(
                 {
                     "type": "improved",
@@ -297,11 +298,22 @@ class Hnsw:
         return np.asarray(layer.nodes), vec_ids, dists
 
     def _bottom_layer_self_search(self, start: int, stop: int, cap: int, sp: SearchParams):
+        return self._bottom_layer_self_search_idx(np.arange(start, stop), cap, sp)
+
+    def _bottom_layer_self_search_idx(self, node_idx: np.ndarray, cap: int, sp: SearchParams):
+        """Self-search of the given bottom-layer node indices at queue
+        capacity ``cap``.  The batch is padded to a query bucket (duplicating
+        the first index) so shrinking remainders reuse compiled programs."""
+        from parallel_hnsw_tpu.search import _query_bucket
+
         layer = self.layers[-1]
-        q_count = stop - start
-        queries = source_get(self.compute_source, layer.nodes[start:stop])
-        init_ids, init_dists = empty_queue(cap, (q_count,))
-        init_ids = init_ids.at[:, 0].set(jnp.arange(start, stop, dtype=ID_DTYPE))
+        q = len(node_idx)
+        b = _query_bucket(q)
+        padded_idx = np.concatenate([node_idx, np.full(b - q, node_idx[0])]) if b != q else node_idx
+        idx_j = jnp.asarray(padded_idx, ID_DTYPE)
+        queries = source_get(self.compute_source, jnp.take(layer.nodes, idx_j))
+        init_ids, init_dists = empty_queue(cap, (b,))
+        init_ids = init_ids.at[:, 0].set(idx_j)
         init_dists = init_dists.at[:, 0].set(0.0)
         state = _bottom_search_jit(
             layer,
@@ -314,7 +326,7 @@ class Hnsw:
             sp.beam_width,
             sp.max_hops,
         )
-        return np.asarray(state.ids), np.asarray(state.dists)
+        return np.asarray(state.ids)[:q], np.asarray(state.dists)[:q]
 
     def threshold_nn(
         self,
@@ -332,19 +344,38 @@ class Hnsw:
         n = layer.node_count
         cap = initial_search_depth or self.build_parameters.zero_layer_neighborhood_size
         sp = SearchParams(probe_depth=probe_depth)
+        # per-node doubling (reference semantics, src/lib.rs:946-952): nodes
+        # whose queue already covers the threshold retire each round; only the
+        # uncovered remainder re-searches at doubled capacity, so one dense
+        # straggler never forces a whole-corpus re-scan.
+        active = np.arange(n)
+        done_rounds = []  # (node_idx, node_ids, dists) per retired batch
         while True:
-            node_ids, dists = self._bottom_layer_self_search(
-                0, n, cap, sp.replace(number_of_candidates=cap, upper_layer_candidate_count=cap)
+            ids_r, d_r = self._bottom_layer_self_search_idx(
+                active, cap,
+                sp.replace(number_of_candidates=cap, upper_layer_candidate_count=cap),
             )
             last = np.where(
-                np.isfinite(dists).any(-1),
-                np.max(np.where(np.isfinite(dists), dists, -np.inf), axis=-1),
+                np.isfinite(d_r).any(-1),
+                np.max(np.where(np.isfinite(d_r), d_r, -np.inf), axis=-1),
                 0.0,
             )
-            full = np.isfinite(dists).all(axis=-1)
-            if not np.any((last < threshold) & full):
+            full = np.isfinite(d_r).all(axis=-1)
+            uncovered = (last < threshold) & full
+            keep = np.nonzero(~uncovered)[0]
+            if len(keep):
+                done_rounds.append((active[keep], ids_r[keep], d_r[keep]))
+            active = active[np.nonzero(uncovered)[0]]
+            if len(active) == 0:
                 break
             cap *= 2
+        # assemble at the widest capacity reached
+        max_cap = max(r[1].shape[1] for r in done_rounds)
+        node_ids = np.full((n, max_cap), EMPTY_ID, np.int32)
+        dists = np.full((n, max_cap), np.inf, np.float32)
+        for idx, ids_r, d_r in done_rounds:
+            node_ids[idx, : ids_r.shape[1]] = ids_r
+            dists[idx, : d_r.shape[1]] = d_r
         # mask out self and entries beyond the threshold
         self_col = np.arange(n)[:, None]
         bad = (node_ids == self_col) | (dists >= threshold)
@@ -371,15 +402,19 @@ class Hnsw:
         return _optimize.stochastic_recall(self.layers, self.compute_source, self.metric, op)
 
     def improve_neighbors(
-        self, op: Optional[OptimizationParams] = None, last_recall: Optional[float] = None
+        self,
+        op: Optional[OptimizationParams] = None,
+        last_recall: Optional[float] = None,
+        progress: Optional[ProgressMonitor] = None,
     ) -> float:
         op = op or self.build_parameters.optimization
         self.layers, recall = _optimize.improve_neighbors(
-            self.layers, self.compute_source, self.metric, op, last_recall
+            self.layers, self.compute_source, self.metric, op, last_recall,
+            monitor=progress,
         )
         return recall
 
-    def _promoter(self, layers: List[Layer], lft: int, bp: BuildParams):
+    def _promoter(self, layers: List[Layer], lft: int, bp: BuildParams, monitor=None):
         def generate_fn(vecs: np.ndarray, new_bp: BuildParams) -> List[Layer]:
             # the ephemeral top-stack rebuild can use the densified compute
             # source directly (only its layers are spliced back)
@@ -395,7 +430,7 @@ class Hnsw:
 
         return _promote.promote_at_layer(
             layers, lft, bp, self.compute_source, self.metric, generate_fn,
-            log=self._log if self.verbose else None,
+            log=self._log if self.verbose else None, monitor=monitor,
         )
 
     def promote_at_layer(self, layer_from_top: int, bp: Optional[BuildParams] = None) -> bool:
@@ -414,7 +449,7 @@ class Hnsw:
 
         def promoter(layers, lft, bpp):
             monitor.alive()
-            return self._promoter(layers, lft, bpp)
+            return self._promoter(layers, lft, bpp, monitor=monitor)
 
         self.layers, recall = _optimize.improve_index(
             self.layers,
@@ -424,6 +459,7 @@ class Hnsw:
             last_recall,
             promoter,
             log=self._log if self.verbose else None,
+            monitor=monitor,
         )
         return recall
 

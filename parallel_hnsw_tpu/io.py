@@ -15,6 +15,7 @@ import json
 from pathlib import Path
 from typing import Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -184,3 +185,121 @@ def deserialize_quantized_hnsw(path: Union[str, Path]):
     hnsw = deserialize_hnsw(path / "hnsw")
     full_source = deserialize_source(path / "comparator")
     return QuantizedHnsw(quantizer, hnsw, full_source)
+
+
+# -- sharded hnsw -------------------------------------------------------------
+# The reference has no distributed story; the layout extends its directory
+# format (serialize.rs:33-209) with per-shard subdirectories so each host of a
+# multi-host mesh can load only its own shards.
+
+
+def serialize_sharded_hnsw(sh, path: Union[str, Path]) -> None:
+    """Per-shard subdirs ``shard.{s}/`` (each the standard Hnsw layout plus
+    ``global_ids``) under a top-level ``meta`` with mesh info."""
+    from parallel_hnsw_tpu.parallel.sharded import ShardedHnsw
+
+    assert isinstance(sh, ShardedHnsw)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "sharded_hnsw",
+        "n_shards": sh.n_shards,
+        "axis": sh.axis,
+        "metric": sh.metric.value,
+        "build_parameters": params_to_dict(sh.build_parameters),
+    }
+    (path / "meta").write_text(json.dumps(meta))
+    for s in range(sh.n_shards):
+        sdir = path / f"shard.{s}"
+        shard = sh._shard_hnsw(s)
+        serialize_hnsw(shard, sdir, store_source=True)
+        gids = np.asarray(sh.global_ids[s], np.int32)
+        _write_array(sdir / "global_ids", gids, "int32")
+        (sdir / "shard.meta").write_text(json.dumps({"rows": int(gids.shape[0])}))
+
+
+def deserialize_sharded_hnsw(path: Union[str, Path], mesh):
+    """Rebuild a ShardedHnsw on ``mesh`` (the mesh itself is runtime state and
+    is supplied by the caller; shard count must match)."""
+    from parallel_hnsw_tpu.parallel.sharded import ShardedHnsw
+
+    path = Path(path)
+    meta = json.loads((path / "meta").read_text())
+    if meta.get("kind") != "sharded_hnsw":
+        raise SerializationError(f"not a sharded index: {path}")
+    n_shards = meta["n_shards"]
+    if mesh.devices.size != n_shards:
+        raise SerializationError(
+            f"mesh has {mesh.devices.size} devices but index has {n_shards} shards"
+        )
+    bp = build_params_from_dict(meta["build_parameters"])
+    metric = Metric(meta["metric"])
+
+    shard_hnsws = []
+    gids_rows = []
+    for s in range(n_shards):
+        sdir = path / f"shard.{s}"
+        shard_hnsws.append(deserialize_hnsw(sdir))
+        rows = json.loads((sdir / "shard.meta").read_text())["rows"]
+        gids_rows.append(_read_array(sdir / "global_ids", "int32", (rows,)))
+    global_ids = jnp.asarray(np.stack(gids_rows))
+
+    from parallel_hnsw_tpu.parallel.sharded import _stack_sources
+
+    # equalize shard source row counts (they match by construction: the
+    # round-robin split pads ragged shards before building)
+    stacked_source = _stack_sources([h.source for h in shard_hnsws])
+    out = ShardedHnsw(mesh, [], stacked_source, global_ids, metric, bp)
+    out._restack_from_hnsws(shard_hnsws)
+    return out
+
+
+def serialize_sharded_quantized_hnsw(sq, path: Union[str, Path]) -> None:
+    """Nested layout mirroring the single-chip PQ format (src/pq.rs:433-452):
+    ``quantizer/`` + ``sharded/`` + per-shard ``full.{s}`` vector dumps."""
+    from parallel_hnsw_tpu.parallel.sharded import ShardedQuantizedHnsw
+
+    assert isinstance(sq, ShardedQuantizedHnsw)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    full = np.asarray(sq.full_stacked, np.float32)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "sharded_quantized_hnsw",
+        "nsub": sq.quantizer.nsub,
+        "full_shape": list(full.shape),
+    }
+    (path / "meta").write_text(json.dumps(meta))
+    serialize_hnsw(sq.quantizer.hnsw, path / "quantizer")
+    (path / "quantizer" / "pq_build_parameters.json").write_text(
+        json.dumps(
+            {"nsub": sq.quantizer.nsub, "pq_params": params_to_dict(sq.quantizer.pq_params)}
+        )
+    )
+    serialize_sharded_hnsw(sq.sharded, path / "sharded")
+    _write_array(path / "full", full, "float32")
+
+
+def deserialize_sharded_quantized_hnsw(path: Union[str, Path], mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from parallel_hnsw_tpu.params import pq_build_params_from_dict
+    from parallel_hnsw_tpu.parallel.sharded import ShardedQuantizedHnsw
+    from parallel_hnsw_tpu.pq import HnswQuantizer
+
+    path = Path(path)
+    meta = json.loads((path / "meta").read_text())
+    if meta.get("kind") != "sharded_quantized_hnsw":
+        raise SerializationError(f"not a sharded PQ index: {path}")
+    centroid_hnsw = deserialize_hnsw(path / "quantizer")
+    qmeta = json.loads((path / "quantizer" / "pq_build_parameters.json").read_text())
+    quantizer = HnswQuantizer(
+        centroid_hnsw, qmeta["nsub"], pq_build_params_from_dict(qmeta["pq_params"])
+    )
+    sharded = deserialize_sharded_hnsw(path / "sharded", mesh)
+    full = _read_array(path / "full", "float32", tuple(meta["full_shape"]))
+    full_stacked = jax.device_put(
+        jnp.asarray(full), NamedSharding(mesh, P(sharded.axis, None, None))
+    )
+    return ShardedQuantizedHnsw(quantizer, sharded, full_stacked)

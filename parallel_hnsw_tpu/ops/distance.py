@@ -54,16 +54,25 @@ def _is_dot_based(metric: Metric) -> bool:
     return metric in (Metric.COSINE, Metric.NORMALIZED_COSINE, Metric.DOT)
 
 
-def pairwise_distance(x: jax.Array, y: jax.Array, metric: Metric) -> jax.Array:
-    """``[Q, D] x [C, D] -> [Q, C]`` distances; one MXU matmul."""
+def pairwise_distance(
+    x: jax.Array, y: jax.Array, metric: Metric, exact: bool = True
+) -> jax.Array:
+    """``[Q, D] x [C, D] -> [Q, C]`` distances; one MXU matmul.
+
+    ``exact=False`` drops to default (bf16-accumulated) MXU precision — the
+    fast-scan mode whose misrankings an exact rerank later repairs.  Honoring
+    the flag here keeps the XLA fallback's numerics aligned with the Pallas
+    kernel so CPU tests exercise the same fast-precision behavior.
+    """
     metric = Metric(metric)
+    precision = _PRECISION if exact else jax.lax.Precision.DEFAULT
     if _is_dot_based(metric):
         dots = jax.lax.dot_general(
             x,
             y,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_PRECISION,
+            precision=precision,
         )
         return _finish_dot(dots, metric)
     # euclidean family: ||x||^2 + ||y||^2 - 2 x.y
@@ -72,7 +81,7 @@ def pairwise_distance(x: jax.Array, y: jax.Array, metric: Metric) -> jax.Array:
         y,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION,
+        precision=precision,
     )
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     y2 = jnp.sum(y * y, axis=-1)[None, :]

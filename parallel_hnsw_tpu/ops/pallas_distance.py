@@ -122,4 +122,4 @@ def best_pairwise_distance(
         platform = dd.platform if dd is not None else jax.default_backend()
     if platform in ("tpu", "axon"):
         return pallas_pairwise_distance(x, y, metric, exact=exact)
-    return pairwise_distance(x, y, metric)
+    return pairwise_distance(x, y, metric, exact=exact)

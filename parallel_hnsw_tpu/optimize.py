@@ -29,6 +29,7 @@ from parallel_hnsw_tpu.graph import Layer, Source, node_to_vec, source_get, vec_
 from parallel_hnsw_tpu.ops.distance import Metric, batched_distance
 from parallel_hnsw_tpu.ops.segment import rebuild_rows
 from parallel_hnsw_tpu.params import BuildParams, OptimizationParams, SearchParams
+from parallel_hnsw_tpu.progress import ProgressMonitor, ensure_monitor
 from parallel_hnsw_tpu.search import search, search_stack
 
 
@@ -295,14 +296,19 @@ def improve_neighbors_upto(
     op: OptimizationParams,
     last_recall: Optional[float] = None,
     log: Optional[Callable[[str], None]] = None,
+    monitor: Optional[ProgressMonitor] = None,
 ) -> Tuple[List[Layer], float]:
     """Relink layers 0..upto until recall stops improving (reference:
-    improve_neighbors_upto, src/lib.rs:1515-1544)."""
+    improve_neighbors_upto, src/lib.rs:1515-1544).  The monitor is polled
+    once per relink sweep so a long repair is cancellable (reference threads
+    ``&mut dyn ProgressMonitor`` through, src/lib.rs:1551-1554)."""
     assert 1 <= upto <= len(layers)
+    monitor = ensure_monitor(monitor)
     last = last_recall if last_recall is not None else 0.0
     improvement = 1.0
     while improvement >= op.neighborhood_threshold and last < 1.0:
         for lft in range(upto):
+            monitor.alive()
             layers, changed = link_layer_to_better_neighbors(
                 layers, lft, source, metric, op.search,
                 exact_threshold=op.exact_relink_threshold,
@@ -323,8 +329,11 @@ def improve_neighbors(
     metric: Metric,
     op: OptimizationParams,
     last_recall: Optional[float] = None,
+    monitor: Optional[ProgressMonitor] = None,
 ) -> Tuple[List[Layer], float]:
-    return improve_neighbors_upto(layers, len(layers), source, metric, op, last_recall)
+    return improve_neighbors_upto(
+        layers, len(layers), source, metric, op, last_recall, monitor=monitor
+    )
 
 
 # A promoter callback has signature
@@ -341,9 +350,11 @@ def improve_index_at(
     last_recall: Optional[float] = None,
     promoter: Optional[Promoter] = None,
     log: Optional[Callable[[str], None]] = None,
+    monitor: Optional[ProgressMonitor] = None,
 ) -> Tuple[List[Layer], float, int]:
     """Reference: improve_index_at (src/lib.rs:1546-1603)."""
     op = bp.optimization
+    monitor = ensure_monitor(monitor)
     recall = (
         last_recall
         if last_recall is not None
@@ -355,9 +366,10 @@ def improve_index_at(
         last = recall
         current = 0
         while current <= layer_from_top and bailout != 0:
+            monitor.alive()
             layer_count = len(layers)
             layers, recall = improve_neighbors_upto(
-                layers, current + 1, source, metric, op, None, log
+                layers, current + 1, source, metric, op, None, log, monitor
             )
             if recall == 1.0:
                 current += 1
@@ -370,7 +382,7 @@ def improve_index_at(
                     current += delta
                     layer_from_top += delta
                     layers, recall = improve_neighbors_upto(
-                        layers, current + 1, source, metric, op, recall, log
+                        layers, current + 1, source, metric, op, recall, log, monitor
                     )
             current += 1
         bailout -= 1
@@ -386,8 +398,10 @@ def improve_index(
     last_recall: Optional[float] = None,
     promoter: Optional[Promoter] = None,
     log: Optional[Callable[[str], None]] = None,
+    monitor: Optional[ProgressMonitor] = None,
 ) -> Tuple[List[Layer], float]:
     """Reference: improve_index (src/lib.rs:1664-1686)."""
+    monitor = ensure_monitor(monitor)
     recall = (
         last_recall
         if last_recall is not None
@@ -395,8 +409,9 @@ def improve_index(
     )
     layer_from_top = 0
     while layer_from_top < len(layers):
+        monitor.alive()
         layers, recall, layer_from_top = improve_index_at(
-            layers, layer_from_top, bp, source, metric, None, promoter, log
+            layers, layer_from_top, bp, source, metric, None, promoter, log, monitor
         )
         layer_from_top += 1
     return layers, recall

@@ -1,3 +1,7 @@
-from parallel_hnsw_tpu.parallel.sharded import ShardedHnsw, default_mesh
+from parallel_hnsw_tpu.parallel.sharded import (
+    ShardedHnsw,
+    ShardedQuantizedHnsw,
+    default_mesh,
+)
 
-__all__ = ["ShardedHnsw", "default_mesh"]
+__all__ = ["ShardedHnsw", "ShardedQuantizedHnsw", "default_mesh"]

@@ -28,7 +28,7 @@ from parallel_hnsw_tpu.graph import DenseSource, Layer, PqSource, Source
 from parallel_hnsw_tpu.index import Hnsw
 from parallel_hnsw_tpu.ops.distance import Metric
 from parallel_hnsw_tpu.ops.queues import sort_queue
-from parallel_hnsw_tpu.params import BuildParams, SearchParams
+from parallel_hnsw_tpu.params import BuildParams, OptimizationParams, SearchParams
 from parallel_hnsw_tpu.search import search_stack
 
 
@@ -78,6 +78,25 @@ def _unstack_source(stacked: Source) -> Source:
     if isinstance(stacked, PqSource):
         return PqSource(codes=stacked.codes[0], codebook=stacked.codebook)
     raise TypeError(type(stacked))
+
+
+def _take_one_shard_source(stacked: Source, s: int) -> Source:
+    if isinstance(stacked, DenseSource):
+        return DenseSource(vectors=stacked.vectors[s])
+    if isinstance(stacked, PqSource):
+        return PqSource(codes=stacked.codes[s], codebook=stacked.codebook)
+    raise TypeError(type(stacked))
+
+
+def _gather_stacked_vectors(stacked: Source, s_idx: jax.Array, i_idx: jax.Array) -> jax.Array:
+    """Gather full-precision vectors at (shard, local) positions from a
+    stacked source (reconstructing for PQ)."""
+    if isinstance(stacked, DenseSource):
+        return stacked.vectors[s_idx, i_idx]
+    from parallel_hnsw_tpu.graph import reconstruct
+
+    codes = stacked.codes[s_idx, i_idx].astype(jnp.int32)
+    return reconstruct(stacked.codebook, codes)
 
 
 class ShardedHnsw:
@@ -231,6 +250,88 @@ class ShardedHnsw:
             k,
         )
 
+    # -- shard round-trip (improve / persistence) -----------------------------
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.mesh.devices.size)
+
+    @property
+    def vector_count(self) -> int:
+        return int(np.sum(np.asarray(self.global_ids) != EMPTY_ID))
+
+    def _shard_hnsw(self, s: int) -> Hnsw:
+        """Materialize shard ``s`` as a standalone per-device Hnsw (padding
+        rows stripped)."""
+        layers = []
+        for l in self.layers_stacked:
+            nodes = np.asarray(l.nodes[s])
+            real = int(np.searchsorted(nodes, np.int32(EMPTY_ID)))
+            if real == 0:  # replicated-top padding level for this shard
+                real = 1
+            layers.append(
+                Layer(
+                    nodes=jnp.asarray(nodes[:real], ID_DTYPE),
+                    neighbors=jnp.asarray(np.asarray(l.neighbors[s])[:real]),
+                )
+            )
+        source = _take_one_shard_source(self.source_stacked, s)
+        return Hnsw(layers, source, self.metric, self.build_parameters)
+
+    def _restack_from_hnsws(self, shard_hnsws: List["Hnsw"]) -> None:
+        n_shards = len(shard_hnsws)
+        max_lc = max(h.layer_count for h in shard_hnsws)
+        for h in shard_hnsws:
+            while h.layer_count < max_lc:
+                h.layers.insert(0, h.layers[0])
+        stacked: List[Layer] = []
+        for lvl in range(max_lc):
+            n_max = max(h.layers[lvl].node_count for h in shard_hnsws)
+            m_max = max(h.layers[lvl].neighborhood_size for h in shard_hnsws)
+            nodes = np.full((n_shards, n_max), EMPTY_ID, np.int32)
+            neigh = np.full((n_shards, n_max, m_max), EMPTY_ID, np.int32)
+            for s, h in enumerate(shard_hnsws):
+                l = h.layers[lvl]
+                nodes[s, : l.node_count] = np.asarray(l.nodes)
+                neigh[s, : l.node_count, : l.neighborhood_size] = np.asarray(l.neighbors)
+            stacked.append(Layer(nodes=jnp.asarray(nodes), neighbors=jnp.asarray(neigh)))
+        self.layers_stacked = stacked
+        self.place()
+
+    def improve_index(self, bp: Optional[BuildParams] = None, progress=None) -> float:
+        """Per-shard improve_index (shards are independent graphs; the
+        reference's improve loop applies shard-locally), restacked after.
+        Returns the minimum shard recall."""
+        bp = bp or self.build_parameters
+        recalls = []
+        hnsws = []
+        devices = list(self.mesh.devices.flat)
+        for s in range(self.n_shards):
+            h = self._shard_hnsw(s)
+            with jax.default_device(devices[s]):
+                recalls.append(h.improve_index(bp, progress=progress))
+            hnsws.append(h)
+        self._restack_from_hnsws(hnsws)
+        return float(min(recalls))
+
+    def stochastic_recall(self, op: Optional[OptimizationParams] = None, seed: int = 42) -> float:
+        """Sampled self-findability across the whole sharded corpus
+        (reference: stochastic_recall, src/lib.rs:1501-1505, applied to the
+        distributed index)."""
+        op = op or self.build_parameters.optimization
+        gids = np.asarray(self.global_ids)
+        s_idx, i_idx = np.nonzero(gids != EMPTY_ID)
+        total = len(s_idx)
+        selection = max(1, int(total * op.recall_proportion))
+        rng = np.random.default_rng(seed)
+        pick = rng.permutation(total)[:selection]
+        s_sel = jnp.asarray(s_idx[pick]), jnp.asarray(i_idx[pick])
+        queries = _gather_stacked_vectors(self.source_stacked, *s_sel)
+        want = gids[s_idx[pick], i_idx[pick]]
+        ids, _ = self.search(queries, op.search, k=op.search.number_of_candidates)
+        found = np.any(np.asarray(ids) == want[:, None], axis=-1)
+        return float(found.mean())
+
 
 @functools.partial(
     jax.jit,
@@ -291,3 +392,210 @@ def _sharded_search_jit(
         check_vma=False,
     )
     return fn(layers_flat, source_stacked, global_ids, queries)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "metric", "sp", "layer_count", "k", "oversample"),
+)
+def _sharded_pq_search_jit(
+    mesh: Mesh,
+    axis: str,
+    layers_flat: Tuple[jax.Array, ...],
+    source_stacked: Source,  # PQ codes per shard + replicated codebook
+    full_stacked: jax.Array,  # [S, N, D] full-precision shard vectors
+    global_ids: jax.Array,
+    qrecon: jax.Array,  # reconstructed queries (code-graph search input)
+    qraw: jax.Array,  # raw queries (exact rerank input)
+    metric: Metric,
+    sp: SearchParams,
+    layer_count: int,
+    k: int,
+    oversample: int,
+):
+    """PQ-sharded search: per-shard code-graph search, *in-shard* exact rerank
+    against the shard's full-precision vectors (full vectors never leave their
+    shard — only reranked top-k queues cross ICI), then cross-shard merge."""
+    ax = axis
+
+    def per_shard(layers_flat, source_stacked, full_stacked, global_ids, qrecon, qraw):
+        from parallel_hnsw_tpu.ops.distance import batched_distance
+
+        layers = [
+            Layer(layers_flat[2 * i][0], layers_flat[2 * i + 1][0])
+            for i in range(layer_count)
+        ]
+        local = _unstack_source(source_stacked)
+        full = full_stacked[0]  # [N, D]
+        gids = global_ids[0]
+        ids, dists, _, _, _ = search_stack(layers, local, metric, qrecon, sp)
+        # in-shard exact rerank of the oversampled survivors
+        kk = min(k * oversample, ids.shape[1])
+        cand_ids = ids[:, :kk]
+        safe = jnp.clip(cand_ids, 0, full.shape[0] - 1)
+        cand_vecs = jnp.take(full, safe, axis=0)  # [Q, kk, D]
+        d = batched_distance(qraw, cand_vecs, metric)
+        d = jnp.where(cand_ids == EMPTY_ID, EMPTY_DIST, d)
+        r_ids, r_d = sort_queue(cand_ids, d)
+        r_ids, r_d = r_ids[:, :k], r_d[:, :k]
+        # local → global, drop padding
+        safe_g = jnp.clip(r_ids, 0, gids.shape[0] - 1)
+        g = jnp.where(r_ids == EMPTY_ID, EMPTY_ID, jnp.take(gids, safe_g))
+        r_d = jnp.where(g == EMPTY_ID, EMPTY_DIST, r_d)
+        g, r_d = sort_queue(g, r_d)
+        # cross-shard top-k merge over ICI
+        all_g = jax.lax.all_gather(g, ax)
+        all_d = jax.lax.all_gather(r_d, ax)
+        s, q, kq = all_g.shape
+        all_g = jnp.moveaxis(all_g, 0, 1).reshape(q, s * kq)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q, s * kq)
+        m_ids, m_d = sort_queue(all_g, all_d)
+        return m_ids[:, :k], m_d[:, :k]
+
+    specs = []
+    for _ in range(layer_count):
+        specs.extend([P(ax, None), P(ax, None, None)])
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            tuple(specs),
+            _source_specs(source_stacked, ax),
+            P(ax, None, None),
+            P(ax, None),
+            P(),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(layers_flat, source_stacked, full_stacked, global_ids, qrecon, qraw)
+
+
+class ShardedQuantizedHnsw:
+    """PQ-compressed sharded index — the BASELINE.md 100M-config layout.
+
+    A single quantizer (HNSW over a shared codebook, trained on a corpus
+    sample) is replicated; PQ codes and full-precision vectors are sharded
+    over the mesh axis; each shard carries its own code graph.  Search
+    quantizes the query, fans out to every shard's code-graph beam search,
+    exact-reranks *inside* the shard (reference: QuantizedHnsw::search rerank,
+    src/pq.rs:346-364 — here the rerank happens before the ICI merge so full
+    vectors never cross chips), and merges top-k across shards.
+    """
+
+    def __init__(
+        self,
+        quantizer,
+        sharded: ShardedHnsw,
+        full_stacked: jax.Array,  # [S, N, D]
+    ):
+        self.quantizer = quantizer
+        self.sharded = sharded
+        self.full_stacked = full_stacked
+
+    @classmethod
+    def new(
+        cls,
+        number_of_centroids: int,
+        full_source: DenseSource,
+        dsub: int,
+        metric: Metric,
+        mesh: Mesh,
+        pqp=None,
+        seed: int = 0,
+        use_kmeans: bool = False,
+        exact_quantize: bool = False,
+        chunk_size: int = 100_000,
+        improve: bool = True,
+        verbose: bool = False,
+    ) -> "ShardedQuantizedHnsw":
+        from parallel_hnsw_tpu.params import PqBuildParams
+        from parallel_hnsw_tpu.pq import (
+            HnswQuantizer,
+            kmeans_centroids,
+            random_centroids,
+        )
+
+        pqp = pqp or PqBuildParams()
+        dim = full_source.dim
+        assert dim % dsub == 0
+        nsub = dim // dsub
+
+        picker = kmeans_centroids if use_kmeans else random_centroids
+        centroids = picker(full_source.vectors, number_of_centroids, dsub, seed=seed)
+        centroid_source = DenseSource(vectors=jnp.asarray(centroids))
+        centroid_hnsw = Hnsw.generate(
+            centroid_source, None, pqp.centroids, metric, seed=seed, verbose=verbose
+        )
+        centroid_hnsw.improve_index(pqp.centroids)
+        quantizer = HnswQuantizer(centroid_hnsw, nsub, pqp)
+
+        codes = []
+        for start in range(0, full_source.count, chunk_size):
+            chunk = full_source.vectors[start : start + chunk_size]
+            codes.append(quantizer.quantize(chunk, exact=exact_quantize))
+        code_dtype = jnp.uint16 if len(centroids) <= 65536 else jnp.int32
+        pq_source = PqSource(
+            codes=jnp.concatenate(codes).astype(code_dtype),
+            codebook=jnp.asarray(centroids),
+        )
+
+        sharded = ShardedHnsw.generate(
+            pq_source, mesh, pqp.hnsw, metric, seed=seed, improve=improve,
+            verbose=verbose,
+        )
+        # stack the full-precision vectors shard-major with the same
+        # round-robin partition + last-row padding as ShardedHnsw.generate
+        n_shards = mesh.devices.size
+        count = full_source.count
+        per = -(-count // n_shards)
+        vecs = np.asarray(full_source.vectors)
+        full = np.zeros((n_shards, per, dim), np.float32)
+        for s in range(n_shards):
+            ids = np.arange(s, count, n_shards)
+            if per - len(ids):
+                ids = np.concatenate([ids, np.repeat(ids[-1:], per - len(ids))])
+            full[s] = vecs[ids]
+        ax = sharded.axis
+        full_stacked = jax.device_put(
+            jnp.asarray(full), NamedSharding(mesh, P(ax, None, None))
+        )
+        return cls(quantizer, sharded, full_stacked)
+
+    def search(
+        self,
+        queries: jax.Array,
+        sp: Optional[SearchParams] = None,
+        k: int = 10,
+        oversample: int = 4,
+        exact_quantize: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        sh = self.sharded
+        sp = sp or sh.build_parameters.optimization.search
+        qcodes = self.quantizer.quantize(queries, exact=exact_quantize)
+        qrecon = self.quantizer.reconstruct(qcodes)
+        flat = []
+        for l in sh.layers_stacked:
+            flat.extend([l.nodes, l.neighbors])
+        return _sharded_pq_search_jit(
+            sh.mesh,
+            sh.axis,
+            tuple(flat),
+            sh.source_stacked,
+            self.full_stacked,
+            sh.global_ids,
+            qrecon,
+            queries,
+            sh.metric,
+            sp,
+            len(sh.layers_stacked),
+            k,
+            oversample,
+        )
+
+    def stochastic_recall(self, op: Optional[OptimizationParams] = None, seed: int = 42) -> float:
+        return self.sharded.stochastic_recall(op, seed)
+
+    def improve_index(self, bp: Optional[BuildParams] = None) -> float:
+        return self.sharded.improve_index(bp)

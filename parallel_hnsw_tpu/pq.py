@@ -351,6 +351,7 @@ class QuantizedHnsw:
         rerank: bool = True,
         code_block: int = 1 << 16,
         query_block: int = 4096,
+        oversample: int = 4,
     ) -> Tuple[jax.Array, jax.Array]:
         """Flat scan over all codes + optional exact rerank.
 
@@ -360,12 +361,16 @@ class QuantizedHnsw:
         and contracted against the query block on the MXU — mathematically
         identical to ADC LUT summation (validated against :func:`adc_scan`)
         but gather-light and MXU-bound.
+
+        When ``rerank=True`` the fast (reduced-precision) scan keeps
+        ``oversample * k`` survivors per query so that true neighbors the
+        low-precision pass mis-ranks are still recovered by the exact
+        full-precision rerank, which then cuts back to ``k``.
         """
         pq_src = self.hnsw.source
         assert isinstance(pq_src, PqSource)
         metric = self.hnsw.metric
         n = pq_src.count
-        from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
 
         # scan precision: bf16 MXU passes are ~5x faster and the exact rerank
         # restores full-precision ordering of the survivors
@@ -376,13 +381,14 @@ class QuantizedHnsw:
             neg_d, idx = jax.lax.top_k(-d, k)
             return (idx + offset).astype(ID_DTYPE), -neg_d
 
+        k_scan = k * oversample if rerank else k
         out_i, out_d = [], []
         for qs in range(0, queries.shape[0], query_block):
             q = queries[qs : qs + query_block]
             best_i, best_d = None, None
             for cs in range(0, n, code_block):
                 codes = pq_src.codes[cs : cs + code_block]
-                kk = min(k, codes.shape[0])
+                kk = min(k_scan, codes.shape[0])
                 idx, dd = score_block(q, codes, pq_src.codebook, cs, kk)
                 if best_i is None:
                     best_i, best_d = idx, dd
@@ -390,15 +396,14 @@ class QuantizedHnsw:
                     best_i = jnp.concatenate([best_i, idx], axis=-1)
                     best_d = jnp.concatenate([best_d, dd], axis=-1)
                     bd, bi = jax.lax.sort((best_d, best_i), num_keys=1)
-                    best_i, best_d = bi[:, :k], bd[:, :k]
+                    best_i, best_d = bi[:, :k_scan], bd[:, :k_scan]
             out_i.append(best_i)
             out_d.append(best_d)
         ids = jnp.concatenate(out_i)
         dists = jnp.concatenate(out_d)
         if rerank:
             ids, dists = self._rerank(queries, ids)
-            ids, dists = ids[:, :k_out], dists[:, :k_out]
-        return ids, dists
+        return ids[:, :k], dists[:, :k]
 
     # delegates (reference: src/pq.rs:366-410)
     def improve_index(self, bp: Optional[BuildParams] = None, last_recall=None) -> float:

@@ -62,13 +62,23 @@ def discover_unreachable_vectors(
 
 
 def _discover_order_from_top(layers: Sequence[Layer], v: int) -> int:
+    return int(_discover_orders_from_top(layers, np.asarray([v]))[0])
+
+
+def _discover_orders_from_top(layers: Sequence[Layer], vecs: np.ndarray) -> np.ndarray:
+    """Vectorized order lookup: for each vector id, the index of the topmost
+    layer containing it — one searchsorted per layer instead of a per-vector
+    stack walk (reference walks per vector, src/lib.rs:1167-1174)."""
+    orders = np.full(len(vecs), -1, dtype=np.int64)
     for i, l in enumerate(layers):
-        # nodes are sorted; binary search
         nodes = np.asarray(l.nodes)
-        j = np.searchsorted(nodes, v)
-        if j < len(nodes) and nodes[j] == v:
-            return i
-    raise ValueError(f"vector {v} does not exist in hnsw")
+        pos = np.searchsorted(nodes, vecs)
+        found = (pos < len(nodes)) & (nodes[np.clip(pos, 0, len(nodes) - 1)] == vecs)
+        orders = np.where((orders < 0) & found, i, orders)
+    if np.any(orders < 0):
+        missing = vecs[orders < 0]
+        raise ValueError(f"vector {missing[0]} does not exist in hnsw")
+    return orders
 
 
 def filter_promotion_candidates(
@@ -79,38 +89,35 @@ def filter_promotion_candidates(
     metric: Metric,
     sp: SearchParams,
 ) -> List[Tuple[int, np.ndarray]]:
-    """Histogram + greedy hypersphere cover (reference: src/lib.rs:1176-1271)."""
+    """Histogram + greedy hypersphere cover (reference: src/lib.rs:1176-1271).
+
+    Batched: order lookup is one searchsorted per layer, the neighbor
+    histogram is a vectorized ``np.unique`` count; only the small greedy
+    cover remains a host loop."""
     if layer_from_top == 0:
         return []
     vecs = np.sort(np.asarray(vecs))
-    vec_set = set(vecs.tolist())
-
-    # histogram: per order-layer, counts of neighbors (of unreachables) that
-    # are themselves unreachable
-    histomap: dict = {}
-    orders = {}
-    for v in vecs:
-        order = _discover_order_from_top(layers, int(v))
-        orders[int(v)] = order
-        if order == 0:
-            continue
-        layer = layers[order]
-        nodes = np.asarray(layer.nodes)
-        node = int(np.searchsorted(nodes, v))
-        row = np.asarray(layer.neighbors[node])
-        row = row[row != EMPTY_ID]
-        histo = histomap.setdefault(order, {})
-        for n in row.tolist():
-            if int(nodes[n]) in vec_set:
-                histo[n] = histo.get(n, 0) + 1
+    orders = _discover_orders_from_top(layers, vecs)
 
     result: List[Tuple[int, np.ndarray]] = []
-    for order in sorted(histomap.keys()):
+    for order in np.unique(orders):
+        order = int(order)
+        if order == 0:
+            continue
+        sel = vecs[orders == order]
         layer = layers[order]
         nodes = np.asarray(layer.nodes)
-        histo = sorted(histomap[order].items(), key=lambda kv: kv[1])  # ascending count
-        cand_nodes = [n for n, _ in reversed(histo)]  # pop-highest-first order
-        cand_vecs = np.asarray([int(nodes[n]) for n in cand_nodes], dtype=np.int64)
+        node_idx = np.searchsorted(nodes, sel)
+        rows = np.asarray(layer.neighbors)[node_idx]  # [k, M]
+        flat = rows[rows != EMPTY_ID]
+        # count only neighbors that are themselves unreachable (vecs is sorted)
+        nbr_vecs = nodes[flat]
+        counted = flat[np.isin(nbr_vecs, vecs)]
+        uniq, counts = np.unique(counted, return_counts=True)
+        # pop-highest-count-first, node id breaking ties (deterministic)
+        order_ix = np.lexsort((uniq, -counts))
+        cand_nodes = uniq[order_ix]
+        cand_vecs = nodes[cand_nodes].astype(np.int64)
         if len(cand_vecs) == 0:
             result.append((order, cand_vecs))
             continue
@@ -127,7 +134,7 @@ def filter_promotion_candidates(
 
         picked: List[int] = []
         for i in range(len(cand_vecs)):
-            if any(dmat[j, i] < radii[j] for j in picked):
+            if picked and bool(np.any(dmat[picked, i] < radii[picked])):
                 continue
             picked.append(i)
         result.append((order, cand_vecs[picked]))
@@ -181,9 +188,15 @@ def promote_at_layer(
     metric: Metric,
     generate_fn: GenerateFn,
     log: Optional[Callable[[str], None]] = None,
+    monitor=None,
 ) -> Tuple[List[Layer], bool]:
-    """Reference: promote_at_layer (src/lib.rs:1273-1427)."""
+    """Reference: promote_at_layer (src/lib.rs:1273-1427); the monitor is
+    polled between phases (reference threads it, src/lib.rs:1276)."""
+    from parallel_hnsw_tpu.progress import ensure_monitor
+
+    monitor = ensure_monitor(monitor)
     say = log or (lambda s: None)
+    monitor.alive()
     vecs = discover_unreachable_vectors(
         layers, layer_from_top, source, metric, bp.optimization.search
     )
@@ -196,12 +209,14 @@ def promote_at_layer(
             return layers, False
     say(f"promoting {len(vecs)} unreachable vectors at layer_from_top={layer_from_top}")
 
+    monitor.alive()
     order_vecs = filter_promotion_candidates(
         layers, layer_from_top, vecs, source, metric, bp.optimization.search
     )
     for order, ovecs in order_vecs:
         if len(ovecs) == 0:
             continue
+        monitor.alive()
         say(f"promotion of {len(ovecs)} vecs into order {order}")
         # sizes of the stack strictly above the order layer, bottom-first
         sizes = [l.node_count for l in layers[:order]]
@@ -236,8 +251,8 @@ def promote_at_layer(
             current_lft = offset + i
             layer = layers[current_lft]
             layer_nodes = np.asarray(layer.nodes)
-            candidates = [v for v in ovecs if not _contains(layer_nodes, v)][:size]
-            if not candidates:
+            candidates = ovecs[~np.isin(ovecs, layer_nodes)][:size]
+            if len(candidates) == 0:
                 continue
             current_from_bottom = len(layers) - current_lft - 1
             layers = extend_layer(layers, current_from_bottom, np.asarray(candidates))

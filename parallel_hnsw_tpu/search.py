@@ -102,9 +102,9 @@ def _layer_step_fns(
         evals = evals + jnp.sum(valid.astype(jnp.int32))
 
         # --- merge into queues.  NOTE: a hand-rolled bitonic merge network
-        # (ops/bitonic.py) measured ~3x SLOWER than XLA's full lax.sort here —
-        # reshape-based compare-exchange at small strides is lane-hostile on
-        # TPU — so the sort-based merge stays until a Pallas kernel replaces it.
+        # measured ~3x SLOWER than XLA's full lax.sort here — reshape-based
+        # compare-exchange at small strides is lane-hostile on TPU — so the
+        # sort-based merge stays (the bitonic experiment was removed in r2).
         ids, dists, expanded, changed = merge_queue_with_flags(
             ids, dists, expanded, flat_ids, d
         )

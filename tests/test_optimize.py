@@ -47,3 +47,35 @@ def test_improve_neighbors_reaches_high_recall():
     assert recall >= 0.95, recall
     full = first_hit_recall(layers, source, METRIC, op.search)
     assert full >= 0.95, full
+
+
+def test_interrupt_cancels_improve_index():
+    """A monitor raising Interrupt stops improve_index mid-loop (reference
+    threads &mut dyn ProgressMonitor through, src/lib.rs:1551-1554)."""
+    from parallel_hnsw_tpu.progress import Interrupt, ProgressMonitor
+
+    class CountdownMonitor(ProgressMonitor):
+        def __init__(self, n):
+            self.n = n
+            self.calls = 0
+
+        def alive(self):
+            self.calls += 1
+            if self.calls > self.n:
+                raise Interrupt()
+
+    from parallel_hnsw_tpu.index import Hnsw
+    from parallel_hnsw_tpu.params import OptimizationParams
+
+    bp = BuildParams(
+        order=6,
+        neighborhood_size=4,
+        zero_layer_neighborhood_size=8,
+        optimization=OptimizationParams(recall_proportion=1.0),
+    )
+    src = random_unit_corpus(120, 8, seed=3)
+    hnsw = Hnsw.generate(src, None, bp, Metric.COSINE, seed=0, improve=False)
+    mon = CountdownMonitor(1)
+    with pytest.raises(Interrupt):
+        hnsw.improve_index(progress=mon)
+    assert mon.calls >= 2  # polled more than once before tripping

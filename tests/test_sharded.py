@@ -92,3 +92,79 @@ def test_sharded_pq_source():
     # reconstructed self should usually be findable
     hits = (got[:, 0] == np.arange(32)).mean()
     assert hits > 0.5, hits
+
+
+def test_sharded_stochastic_recall(sharded):
+    source, sh = sharded
+    r = sh.stochastic_recall()
+    assert 0.9 <= r <= 1.0, r
+
+
+def test_sharded_roundtrip(tmp_path, sharded):
+    from parallel_hnsw_tpu.io import deserialize_sharded_hnsw, serialize_sharded_hnsw
+
+    source, sh = sharded
+    serialize_sharded_hnsw(sh, tmp_path / "sh")
+    back = deserialize_sharded_hnsw(tmp_path / "sh", sh.mesh)
+    assert back.n_shards == sh.n_shards
+    np.testing.assert_array_equal(np.asarray(back.global_ids), np.asarray(sh.global_ids))
+    q = source.vectors[:16]
+    i1, d1 = sh.search(q, k=10)
+    i2, d2 = back.search(q, k=10)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def sharded_pq():
+    from parallel_hnsw_tpu.params import PqBuildParams
+    from parallel_hnsw_tpu.parallel import ShardedQuantizedHnsw
+
+    source = random_unit_corpus(300, 16, seed=23)
+    pqp = PqBuildParams(
+        centroids=BP, hnsw=BP,
+        quantized_search=SearchParams(number_of_candidates=32, upper_layer_candidate_count=32),
+    )
+    sq = ShardedQuantizedHnsw.new(
+        number_of_centroids=64,
+        full_source=source,
+        dsub=4,
+        metric=Metric.EUCLIDEAN,
+        mesh=default_mesh(),
+        pqp=pqp,
+        seed=3,
+        exact_quantize=True,
+    )
+    return source, sq
+
+
+def test_sharded_pq_build_and_search(sharded_pq):
+    source, sq = sharded_pq
+    queries = source.vectors[:64]
+    ids, dists = sq.search(queries, k=5, exact_quantize=True)
+    got = np.asarray(ids)
+    valid = got[got != EMPTY_ID]
+    assert valid.size > 0 and valid.max() < source.count
+    # exact in-shard rerank: self-recall@1 should be high
+    hits = (got[:, 0] == np.arange(64)).mean()
+    assert hits >= 0.9, hits
+    # distances are the exact full-precision ones after rerank
+    d0 = np.asarray(dists[:, 0])
+    hit_rows = got[:, 0] == np.arange(64)
+    assert np.all(np.abs(d0[hit_rows]) < 1e-4)
+
+
+def test_sharded_pq_roundtrip(tmp_path, sharded_pq):
+    from parallel_hnsw_tpu.io import (
+        deserialize_sharded_quantized_hnsw,
+        serialize_sharded_quantized_hnsw,
+    )
+
+    source, sq = sharded_pq
+    serialize_sharded_quantized_hnsw(sq, tmp_path / "sq")
+    back = deserialize_sharded_quantized_hnsw(tmp_path / "sq", sq.sharded.mesh)
+    q = source.vectors[:16]
+    i1, d1 = sq.search(q, k=5, exact_quantize=True)
+    i2, d2 = back.search(q, k=5, exact_quantize=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
