@@ -28,9 +28,10 @@ from parallel_hnsw_tpu.params import (
     PqBuildParams,
     SearchParams,
 )
+from parallel_hnsw_tpu.pq import HnswQuantizer, QuantizedHnsw
 from parallel_hnsw_tpu.progress import CallbackProgressMonitor, Interrupt, ProgressMonitor
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "EMPTY_DIST",
@@ -48,4 +49,6 @@ __all__ = [
     "ProgressMonitor",
     "CallbackProgressMonitor",
     "Interrupt",
+    "QuantizedHnsw",
+    "HnswQuantizer",
 ]

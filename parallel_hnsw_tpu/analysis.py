@@ -45,6 +45,75 @@ def brute_force_knn(
     return jnp.concatenate(outs_i), jnp.concatenate(outs_d)
 
 
+def fast_flat_knn(
+    source: Source,
+    queries: jax.Array,
+    metric: Metric,
+    k: int,
+    oversample: int = 4,
+    query_block: int = 4096,
+    corpus_block: int = 1 << 19,
+):
+    """Top-k by fast-precision flat scan + exact rerank. Returns (ids, dists).
+
+    The TPU-native speed engine for dense corpora up to the low millions:
+    stream the corpus through the MXU at default (bf16-accumulated) precision
+    — ~5x cheaper than the ``precision=HIGHEST`` exact scan — keeping
+    ``oversample * k`` survivors per corpus block, then rerank the survivors
+    with full-precision distances and cut to ``k``.  Misrankings introduced
+    by the low-precision pass are recovered as long as true neighbors stay
+    within the oversampled beam (recall == exact scan in practice; the
+    regression test asserts it).
+
+    The reference has no analogue (flat scan is hopeless on CPU at this
+    scale); cited for contrast with `benches/bench.rs:54-63`'s graph-only
+    workload.
+    """
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("metric", "kk"))
+    def scan_block(q, vecs, offset, metric, kk):
+        d = best_pairwise_distance(q, vecs, metric, exact=False)
+        neg_d, idx = jax.lax.top_k(-d, kk)
+        return (idx + offset).astype(ID_DTYPE), -neg_d
+
+    @_ft.partial(jax.jit, static_argnames=("k_scan",))
+    def merge_blocks(ids_a, d_a, ids_b, d_b, k_scan):
+        ids = jnp.concatenate([ids_a, ids_b], axis=-1)
+        d = jnp.concatenate([d_a, d_b], axis=-1)
+        d, ids = jax.lax.sort((d, ids), num_keys=1)
+        return ids[:, :k_scan], d[:, :k_scan]
+
+    @_ft.partial(jax.jit, static_argnames=("metric", "k"))
+    def rerank_block(q, cand_ids, vecs_cand, metric, k):
+        from parallel_hnsw_tpu.ops.distance import batched_distance
+
+        d = batched_distance(q, vecs_cand, metric)
+        d, ids = jax.lax.sort((d, cand_ids), num_keys=1)
+        return ids[:, :k], d[:, :k]
+
+    k_scan = max(k, k * oversample)
+    n = source.count
+    all_ids = jnp.arange(n)
+    out_i, out_d = [], []
+    for qs in range(0, queries.shape[0], query_block):
+        q = queries[qs : qs + query_block]
+        best_i = best_d = None
+        for cs in range(0, n, corpus_block):
+            vecs = source_get(source, all_ids[cs : cs + corpus_block])
+            kk = min(k_scan, vecs.shape[0])
+            idx, dd = scan_block(q, vecs, cs, metric, kk)
+            if best_i is None:
+                best_i, best_d = idx, dd
+            else:
+                best_i, best_d = merge_blocks(best_i, best_d, idx, dd, k_scan)
+        cand = source_get(source, best_i)
+        r_ids, r_d = rerank_block(q, best_i, cand, metric, k)
+        out_i.append(r_ids)
+        out_d.append(r_d)
+    return jnp.concatenate(out_i), jnp.concatenate(out_d)
+
+
 def first_hit_recall(
     layers: Sequence[Layer],
     source: Source,
@@ -280,31 +349,56 @@ def blocked_topk_pairwise(
     row_block: int = 4096,
     col_block: int = 1 << 16,
     exclude_diag_offset: "int | None" = None,
+    fast: bool = False,
+    oversample: int = 4,
 ):
-    """Exact top-k by blocked pairwise distances with streaming merge.
+    """Top-k by blocked pairwise distances with streaming merge.
 
     Bounds the live distance matrix to ``[row_block, col_block]``.  When
     ``exclude_diag_offset`` is set, entry (i, exclude_diag_offset + i) is
     masked (self-exclusion for within-corpus queries).  Returns (ids, dists)
     ``[Q, k]`` sorted ascending.
+
+    ``fast=True`` is the million-row mode (used by the exact build paths
+    above the fp32 threshold): scan blocks at default (bf16-accumulated) MXU
+    precision with the TPU's ``approx_min_k`` reduction, keep
+    ``oversample * k`` survivors, then restore exact ordering with a
+    full-precision rerank of the survivors before cutting to ``k``.
     """
     import functools as _ft
 
     n = corpus_feats.shape[0]
     k = min(k, n)
+    k_scan = min(k * oversample, n) if fast else k
 
-    @_ft.partial(jax.jit, static_argnames=("metric", "k", "row_off_is_none"))
-    def block(q, c, col_off, row_off, metric, k, row_off_is_none):
+    @_ft.partial(jax.jit, static_argnames=("metric", "k", "row_off_is_none", "fast"))
+    def block(q, c, col_off, row_off, metric, k, row_off_is_none, fast):
         from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
 
-        d = best_pairwise_distance(q, c, metric)
+        d = best_pairwise_distance(q, c, metric, exact=not fast)
         if not row_off_is_none:
             rows = jnp.arange(q.shape[0])[:, None] + row_off
             cols = jnp.arange(c.shape[0])[None, :] + col_off
             d = jnp.where(rows == cols, jnp.inf, d)
         kk = min(k, c.shape[0])
+        if fast:
+            dd, idx = jax.lax.approx_min_k(d, kk)
+            return (idx + col_off).astype(ID_DTYPE), dd
         neg_d, idx = jax.lax.top_k(-d, kk)
         return (idx + col_off).astype(ID_DTYPE), -neg_d
+
+    @_ft.partial(jax.jit, static_argnames=("metric", "k", "row_off_is_none"))
+    def rerank(q, cand_ids, cand_feats, row_off, metric, k, row_off_is_none):
+        from parallel_hnsw_tpu.ops.distance import batched_distance
+
+        d = batched_distance(q, cand_feats, metric)
+        if not row_off_is_none:
+            # when k_scan >= n the diag-masked entry survives the scan;
+            # keep it excluded through the rerank
+            rows = jnp.arange(q.shape[0])[:, None] + row_off
+            d = jnp.where(cand_ids == rows, jnp.inf, d)
+        s_d, s_i = jax.lax.sort((d, cand_ids), num_keys=2)
+        return s_i[:, :k], s_d[:, :k]
 
     out_i, out_d = [], []
     for rs in range(0, queries.shape[0], row_block):
@@ -318,8 +412,9 @@ def blocked_topk_pairwise(
                 cs,
                 (exclude_diag_offset + rs) if exclude_diag_offset is not None else 0,
                 metric,
-                k,
+                k_scan,
                 exclude_diag_offset is None,
+                fast,
             )
             if best_i is None:
                 best_i, best_d = idx, dd
@@ -327,7 +422,17 @@ def blocked_topk_pairwise(
                 cat_i = jnp.concatenate([best_i, idx], axis=-1)
                 cat_d = jnp.concatenate([best_d, dd], axis=-1)
                 s_d, s_i = jax.lax.sort((cat_d, cat_i), num_keys=2)
-                best_i, best_d = s_i[:, :k], s_d[:, :k]
+                best_i, best_d = s_i[:, :k_scan], s_d[:, :k_scan]
+        if fast:
+            best_i, best_d = rerank(
+                q,
+                best_i,
+                jnp.take(corpus_feats, best_i, axis=0),
+                (exclude_diag_offset + rs) if exclude_diag_offset is not None else 0,
+                metric,
+                k,
+                exclude_diag_offset is None,
+            )
         out_i.append(best_i)
         out_d.append(best_d)
     return jnp.concatenate(out_i), jnp.concatenate(out_d)

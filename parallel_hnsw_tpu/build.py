@@ -316,16 +316,19 @@ def generate(
         slice_length = min(length, total)
         m = bp.zero_layer_neighborhood_size if level == 0 else bp.neighborhood_size
         key, sub = jax.random.split(key)
-        layer = generate_layer(
-            sub,
-            jnp.asarray(vs[:slice_length], ID_DTYPE),
-            m,
-            layers,
-            source,
-            metric,
-            bp.initial_partition_search,
-            exact_seed_threshold=bp.exact_seed_threshold,
-        )
+        from parallel_hnsw_tpu.utils.trace import TRACER
+
+        with TRACER.span("generate_layer", level=level, nodes=slice_length):
+            layer = generate_layer(
+                sub,
+                jnp.asarray(vs[:slice_length], ID_DTYPE),
+                m,
+                layers,
+                source,
+                metric,
+                bp.initial_partition_search,
+                exact_seed_threshold=bp.exact_seed_threshold,
+            )
         layers.append(layer)
         if improver is not None:
             old_count = len(layers)

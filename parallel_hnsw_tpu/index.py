@@ -105,8 +105,11 @@ class Hnsw:
                 return layers
             monitor.alive()
             self_ref.layers = layers
+            from parallel_hnsw_tpu.utils.trace import TRACER
+
             with monitor.keep_alive():  # scope guard, reference: keepalive!
-                recall = self_ref.improve_index(bp, progress=monitor)
+                with TRACER.span("improve_index", layers=len(layers)):
+                    recall = self_ref.improve_index(bp, progress=monitor)
             monitor.update(
                 {
                     "type": "improved",
@@ -120,14 +123,18 @@ class Hnsw:
         layers = _build.generate(build_source, vector_ids, bp, metric, seed, improver)
         self_ref.layers = layers
         if improve and bp.final_relink_sweeps > 0:
+            from parallel_hnsw_tpu.utils.trace import TRACER
+
             for _ in range(bp.final_relink_sweeps):
                 monitor.alive()
-                for lft in range(self_ref.layer_count):
-                    self_ref.layers, _ = _optimize.link_layer_to_better_neighbors(
-                        self_ref.layers, lft, build_source, metric,
-                        bp.optimization.search,
-                        exact_threshold=bp.optimization.exact_relink_threshold,
-                    )
+                with TRACER.span("final_relink_sweep"):
+                    for lft in range(self_ref.layer_count):
+                        self_ref.layers, _ = _optimize.link_layer_to_better_neighbors(
+                            self_ref.layers, lft, build_source, metric,
+                            bp.optimization.search,
+                            exact_threshold=bp.optimization.exact_relink_threshold,
+                            fast_threshold=bp.optimization.fast_relink_threshold,
+                        )
             monitor.update(
                 {"type": "final_relink", "seconds": round(_time.time() - t_start, 1)}
             )
@@ -238,16 +245,32 @@ class Hnsw:
             self.layers[:upto_layer_from_top], self.compute_source, self.metric, queries, sp
         )
 
-    def search_exact(self, queries: jax.Array, k: int = 10, query_block: int = 4096):
+    def search_exact(
+        self,
+        queries: jax.Array,
+        k: int = 10,
+        query_block: int = 4096,
+        fast: bool = False,
+        oversample: int = 4,
+    ):
         """Exact top-k by full MXU scan (no graph traversal).
 
         On TPU a brute-force distance matrix often beats graph traversal for
         corpora up to the low millions — the MXU evaluates the whole corpus
         faster than sparse neighbor gathers resolve (TPU-KNN observation);
         this is the speed-of-light baseline the graph path is measured
-        against."""
-        from parallel_hnsw_tpu.analysis import brute_force_knn
+        against.
 
+        ``fast=True`` scans at default (bf16-accumulated) MXU precision —
+        ~5x cheaper — keeping ``oversample * k`` survivors, then restores
+        exact ordering with a full-precision rerank before cutting to ``k``
+        (same scheme as :meth:`QuantizedHnsw.search_exact`)."""
+        from parallel_hnsw_tpu.analysis import brute_force_knn, fast_flat_knn
+
+        if fast:
+            return fast_flat_knn(
+                self.compute_source, queries, self.metric, k, oversample, query_block
+            )
         return brute_force_knn(self.compute_source, queries, self.metric, k, query_block)
 
     def search_ids(self, vector_ids, sp=None, exclude_self: bool = False):

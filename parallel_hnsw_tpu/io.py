@@ -94,13 +94,6 @@ def serialize_hnsw(hnsw: Hnsw, path: Union[str, Path], store_source: bool = True
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     layer_count = hnsw.layer_count
-    meta = {
-        "format_version": FORMAT_VERSION,
-        "layer_count": layer_count,
-        "metric": hnsw.metric.value,
-        "build_parameters": params_to_dict(hnsw.build_parameters),
-    }
-    (path / "meta").write_text(json.dumps(meta))
 
     if store_source:
         serialize_source(hnsw.source, path / "comparator")
@@ -119,6 +112,17 @@ def serialize_hnsw(hnsw: Hnsw, path: Union[str, Path], store_source: bool = True
         _write_array(
             path / f"layer.neighbors.{layer_number}", np.asarray(layer.neighbors), "int32"
         )
+
+    # meta is written LAST so an interrupted serialization (crash mid-layer)
+    # never leaves a directory that passes the "meta exists" completeness
+    # check checkpoint consumers rely on
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "layer_count": layer_count,
+        "metric": hnsw.metric.value,
+        "build_parameters": params_to_dict(hnsw.build_parameters),
+    }
+    (path / "meta").write_text(json.dumps(meta))
 
 
 def deserialize_hnsw(

@@ -28,6 +28,10 @@ from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
 from parallel_hnsw_tpu.graph import Layer, Source, node_to_vec, source_get, vec_to_node
 from parallel_hnsw_tpu.ops.distance import Metric, batched_distance
 from parallel_hnsw_tpu.ops.segment import rebuild_rows
+
+# HBM cap on the [N, D] feature slab a fast MXU relink may materialize;
+# layers larger than this fall back to blocked graph-search relinks.
+FAST_RELINK_BYTE_BUDGET = 2 << 30
 from parallel_hnsw_tpu.params import BuildParams, OptimizationParams, SearchParams
 from parallel_hnsw_tpu.progress import ProgressMonitor, ensure_monitor
 from parallel_hnsw_tpu.search import search, search_stack
@@ -164,10 +168,15 @@ def _relink_layer_exact(
     metric: Metric,
     match_count: int,
     node_block: int,
+    fast: bool = False,
 ):
     """Exact relink: matches are the true nearest neighbors within the layer,
     computed by blocked MXU brute force — faster than graph search on TPU and
-    strictly better edges than the reference's approximate matches."""
+    strictly better edges than the reference's approximate matches.
+
+    ``fast=True`` is the million-row tier: bf16 scan + approx_min_k +
+    exact rerank of the oversampled survivors (see blocked_topk_pairwise);
+    match distances stay full-precision either way."""
     from parallel_hnsw_tpu.analysis import blocked_topk_pairwise
 
     nodes, neighbors = layer.nodes, layer.neighbors
@@ -176,7 +185,8 @@ def _relink_layer_exact(
 
     feats = gather_features(source, nodes)
     match_nodes, match_d = blocked_topk_pairwise(
-        feats, feats, metric, match_count, row_block=4096, exclude_diag_offset=0
+        feats, feats, metric, match_count, row_block=4096, exclude_diag_offset=0,
+        fast=fast,
     )
     row_d_parts = []
     for start in range(0, n, node_block):
@@ -210,10 +220,13 @@ def link_layer_to_better_neighbors(
     sp: SearchParams,
     node_block: int = 0,
     exact_threshold: int = 131072,
+    fast_threshold: int = 2_000_000,
 ) -> Tuple[List[Layer], int]:
     """Relink one layer; returns the updated stack and #rows changed.
     ``node_block`` 0 = auto from a byte budget on the [block, M, D] row
-    gather."""
+    gather.  Tiering: exact MXU matches up to ``exact_threshold`` nodes,
+    fast MXU matches (bf16 + rerank) up to ``fast_threshold`` when the
+    feature slab fits the byte budget, blocked graph search beyond."""
     stack = layers[: layer_from_top + 1]
     if node_block <= 0:
         from parallel_hnsw_tpu.build import _auto_node_block
@@ -225,6 +238,20 @@ def link_layer_to_better_neighbors(
     if 0 < stack[-1].node_count <= exact_threshold:
         new_neighbors, changed = _relink_layer_exact(
             stack[-1], source, metric, match_count, node_block
+        )
+        out = list(layers)
+        out[layer_from_top] = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
+        return out, changed
+    from parallel_hnsw_tpu.graph import source_effective_width
+
+    feat_bytes = stack[-1].node_count * source_effective_width(source) * 4
+    if (
+        exact_threshold
+        and 0 < stack[-1].node_count <= fast_threshold
+        and feat_bytes <= FAST_RELINK_BYTE_BUDGET
+    ):
+        new_neighbors, changed = _relink_layer_exact(
+            stack[-1], source, metric, match_count, node_block, fast=True
         )
         out = list(layers)
         out[layer_from_top] = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
@@ -306,16 +333,22 @@ def improve_neighbors_upto(
     monitor = ensure_monitor(monitor)
     last = last_recall if last_recall is not None else 0.0
     improvement = 1.0
+    from parallel_hnsw_tpu.utils.trace import TRACER
+
     while improvement >= op.neighborhood_threshold and last < 1.0:
         for lft in range(upto):
             monitor.alive()
-            layers, changed = link_layer_to_better_neighbors(
-                layers, lft, source, metric, op.search,
-                exact_threshold=op.exact_relink_threshold,
-            )
+            with TRACER.span("relink_layer", layer_from_top=lft):
+                layers, changed = link_layer_to_better_neighbors(
+                    layers, lft, source, metric, op.search,
+                    exact_threshold=op.exact_relink_threshold,
+                    fast_threshold=op.fast_relink_threshold,
+                )
+            TRACER.count("relinked", rows=float(changed))
             if log:
                 log(f"layer {lft}: relinked {changed}")
-        recall = stochastic_recall_at(layers, upto - 1, source, metric, op)
+        with TRACER.span("stochastic_recall", upto=upto):
+            recall = stochastic_recall_at(layers, upto - 1, source, metric, op)
         improvement = recall - last
         last = recall
         if log:

@@ -45,6 +45,12 @@ class OptimizationParams:
     # by exact MXU brute force instead of graph search — faster on TPU (the
     # MXU outruns sparse gathers) and yields true-nearest edges. 0 disables.
     exact_relink_threshold: int = 131072
+    # TPU extension, million-row tier: above exact_relink_threshold but at or
+    # below this count (and within the HBM byte budget), relink matches come
+    # from the fast MXU scan — bf16 blocks + approx_min_k + exact rerank of
+    # oversampled survivors.  Still far faster than graph-search relinks at
+    # this scale (the hop is gather-issue-bound). 0 disables.
+    fast_relink_threshold: int = 2_000_000
 
     def replace(self, **kw: Any) -> "OptimizationParams":
         return dataclasses.replace(self, **kw)

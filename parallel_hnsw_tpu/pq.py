@@ -250,32 +250,37 @@ class QuantizedHnsw:
         assert dim % dsub == 0
         nsub = dim // dsub
 
-        if use_kmeans:
-            centroids = kmeans_centroids(
-                full_source.vectors, number_of_centroids, dsub, seed=seed
-            )
-        else:
-            centroids = random_centroids(
-                full_source.vectors, number_of_centroids, dsub, seed=seed
-            )
+        from parallel_hnsw_tpu.utils.trace import TRACER
+
+        with TRACER.span("pq_centroids", n=number_of_centroids):
+            if use_kmeans:
+                centroids = kmeans_centroids(
+                    full_source.vectors, number_of_centroids, dsub, seed=seed
+                )
+            else:
+                centroids = random_centroids(
+                    full_source.vectors, number_of_centroids, dsub, seed=seed
+                )
         monitor.alive()
 
         centroid_source = DenseSource(vectors=jnp.asarray(centroids))
-        centroid_hnsw = Hnsw.generate(
-            centroid_source, None, pqp.centroids, metric, seed=seed,
-            progress=monitor, verbose=verbose,
-        )
-        centroid_hnsw.improve_index(pqp.centroids, progress=monitor)
+        with TRACER.span("pq_centroid_graph"):
+            centroid_hnsw = Hnsw.generate(
+                centroid_source, None, pqp.centroids, metric, seed=seed,
+                progress=monitor, verbose=verbose,
+            )
+            centroid_hnsw.improve_index(pqp.centroids, progress=monitor)
         quantizer = HnswQuantizer(centroid_hnsw, nsub, pqp)
 
         # quantize the corpus in streaming chunks (reference: vector_chunks,
         # src/pq.rs:325-334)
         codes = []
         n = full_source.count
-        for start in range(0, n, chunk_size):
-            monitor.alive()
-            chunk = full_source.vectors[start : start + chunk_size]
-            codes.append(quantizer.quantize(chunk, exact=exact_quantize))
+        with TRACER.span("pq_quantize", n=n):
+            for start in range(0, n, chunk_size):
+                monitor.alive()
+                chunk = full_source.vectors[start : start + chunk_size]
+                codes.append(quantizer.quantize(chunk, exact=exact_quantize))
         if code_dtype is None:
             # reference parity: u16 codes when the codebook fits (src/pq.rs:20)
             code_dtype = jnp.uint16 if len(centroids) <= 65536 else jnp.int32
@@ -284,10 +289,11 @@ class QuantizedHnsw:
             codebook=jnp.asarray(centroids),
         )
 
-        hnsw = Hnsw.generate(
-            pq_source, None, pqp.hnsw, metric, seed=seed, progress=monitor,
-            verbose=verbose,
-        )
+        with TRACER.span("pq_code_graph", n=n):
+            hnsw = Hnsw.generate(
+                pq_source, None, pqp.hnsw, metric, seed=seed, progress=monitor,
+                verbose=verbose,
+            )
         return cls(quantizer, hnsw, full_source)
 
     @property

@@ -71,3 +71,38 @@ def test_self_distance_is_zero():
     for metric in (Metric.COSINE, Metric.NORMALIZED_COSINE, Metric.EUCLIDEAN, Metric.SQUARED_EUCLIDEAN):
         got = np.asarray(distance_one(jnp.asarray(a), jnp.asarray(a), metric))
         np.testing.assert_allclose(got, 0.0, atol=1e-5)
+
+
+def test_fast_flat_knn_matches_exact_scan():
+    """bf16 scan + oversampled exact rerank must reproduce the exact scan's
+    top-k (ids and full-precision distances), including across corpus-block
+    merges."""
+    import jax
+
+    from parallel_hnsw_tpu.analysis import brute_force_knn, fast_flat_knn
+    from parallel_hnsw_tpu.graph import DenseSource
+
+    vecs = _unit(500, 32)
+    src = DenseSource(vectors=jnp.asarray(vecs))
+    queries = jnp.asarray(_unit(37, 32))
+    for metric in (Metric.COSINE, Metric.EUCLIDEAN):
+        gt_ids, gt_d = brute_force_knn(src, queries, metric, 10)
+        ids, d = fast_flat_knn(
+            src, queries, metric, 10, oversample=4, query_block=16, corpus_block=128
+        )
+        assert ids.shape == (37, 10)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(gt_ids))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(gt_d), atol=1e-5)
+
+
+def test_hnsw_search_exact_fast_path():
+    from parallel_hnsw_tpu.graph import DenseSource
+    from parallel_hnsw_tpu.index import Hnsw
+    from parallel_hnsw_tpu.params import BuildParams
+
+    vecs = _unit(300, 16)
+    src = DenseSource(vectors=jnp.asarray(vecs))
+    idx = Hnsw([], src, Metric.COSINE, BuildParams())
+    ids_exact, _ = idx.search_exact(jnp.asarray(vecs[:8]), k=5)
+    ids_fast, _ = idx.search_exact(jnp.asarray(vecs[:8]), k=5, fast=True)
+    np.testing.assert_array_equal(np.asarray(ids_fast), np.asarray(ids_exact))

@@ -79,3 +79,44 @@ def test_interrupt_cancels_improve_index():
     with pytest.raises(Interrupt):
         hnsw.improve_index(progress=mon)
     assert mon.calls >= 2  # polled more than once before tripping
+
+
+def test_fast_blocked_topk_matches_exact():
+    """The million-row fast tier (bf16 scan + approx_min_k + exact rerank)
+    must reproduce the exact blocked top-k, including diagonal exclusion
+    across block boundaries and when k_scan exceeds a block."""
+    from parallel_hnsw_tpu.analysis import blocked_topk_pairwise
+
+    source = random_unit_corpus(700, 24, seed=9)
+    feats = source.vectors
+    for k, rb, cb in ((10, 128, 256), (6, 256, 64)):
+        gt_i, gt_d = blocked_topk_pairwise(
+            feats, feats, METRIC, k, row_block=rb, col_block=cb,
+            exclude_diag_offset=0,
+        )
+        f_i, f_d = blocked_topk_pairwise(
+            feats, feats, METRIC, k, row_block=rb, col_block=cb,
+            exclude_diag_offset=0, fast=True, oversample=4,
+        )
+        np.testing.assert_array_equal(np.asarray(f_i), np.asarray(gt_i))
+        np.testing.assert_allclose(np.asarray(f_d), np.asarray(gt_d), atol=1e-5)
+        # self-exclusion holds through the rerank
+        assert not (np.asarray(f_i) == np.arange(700)[:, None]).any()
+
+
+def test_fast_relink_tier_matches_exact_relink():
+    """Above the exact threshold but under the fast threshold, relink must
+    use the fast MXU tier and produce the same edges as the exact tier."""
+    source, bp, layers = build_small(count=500)
+    exact_layers, _ = link_layer_to_better_neighbors(
+        layers, len(layers) - 1, source, METRIC, bp.optimization.search,
+        exact_threshold=1 << 20,
+    )
+    fast_layers, _ = link_layer_to_better_neighbors(
+        layers, len(layers) - 1, source, METRIC, bp.optimization.search,
+        exact_threshold=1, fast_threshold=1 << 20,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast_layers[-1].neighbors), np.asarray(exact_layers[-1].neighbors)
+    )
+    assert_layer_invariants(fast_layers)
