@@ -23,26 +23,23 @@ from parallel_hnsw_tpu.params import SearchParams
 from parallel_hnsw_tpu.search import search
 
 
+# Cap on any transient [rows, cols] f32 distance matrix a blocked scan may
+# materialize in HBM.  The 1M-rung exact-seed scan showed that 4GB live
+# blocks ([16384, 65536]) crash the TPU worker outright; 512MB keeps two
+# pipelined blocks + top_k scratch comfortably inside a 16GB chip.
+MATRIX_BYTE_BUDGET = 512 << 20
+
+
 def brute_force_knn(
     source: Source, queries: jax.Array, metric: Metric, k: int, query_block: int = 4096
 ):
-    """Exact top-k by full pairwise distance on the MXU. Returns (ids, dists)."""
-    import functools as _ft
+    """Exact top-k by full pairwise distance on the MXU. Returns (ids, dists).
 
-    @_ft.partial(jax.jit, static_argnames=("metric", "k"))
-    def block(q, vecs, metric, k):
-        d = best_pairwise_distance(q, vecs, metric)
-        neg_d, idx = jax.lax.top_k(-d, k)
-        return idx.astype(jnp.int32), -neg_d
-
-    outs_i, outs_d = [], []
+    Delegates to :func:`blocked_topk_pairwise`, which bounds the live
+    distance matrix (corpus AND query blocked) so million-row corpora scan
+    within the HBM budget."""
     vecs = source_get(source, jnp.arange(source.count))
-    for start in range(0, queries.shape[0], query_block):
-        q = queries[start : start + query_block]
-        idx, dd = block(q, vecs, metric, k)
-        outs_i.append(idx)
-        outs_d.append(dd)
-    return jnp.concatenate(outs_i), jnp.concatenate(outs_d)
+    return blocked_topk_pairwise(queries, vecs, metric, k, row_block=query_block)
 
 
 def fast_flat_knn(
@@ -94,6 +91,8 @@ def fast_flat_knn(
 
     k_scan = max(k, k * oversample)
     n = source.count
+    # bound the live [query_block, corpus_block] f32 matrix
+    corpus_block = max(4096, min(corpus_block, MATRIX_BYTE_BUDGET // (query_block * 4)))
     all_ids = jnp.arange(n)
     out_i, out_d = [], []
     for qs in range(0, queries.shape[0], query_block):
@@ -370,6 +369,9 @@ def blocked_topk_pairwise(
     n = corpus_feats.shape[0]
     k = min(k, n)
     k_scan = min(k * oversample, n) if fast else k
+    # bound the live [row_block, col_block] f32 matrix (see MATRIX_BYTE_BUDGET)
+    col_eff = min(col_block, n)
+    row_block = max(256, min(row_block, MATRIX_BYTE_BUDGET // (col_eff * 4)))
 
     @_ft.partial(jax.jit, static_argnames=("metric", "k", "row_off_is_none", "fast"))
     def block(q, c, col_off, row_off, metric, k, row_off_is_none, fast):
