@@ -291,6 +291,7 @@ def generate(
     metric: Metric,
     seed: int = 0,
     improver=None,
+    initial_layers: "List[Layer] | None" = None,
 ) -> List[Layer]:
     """Build the full layer stack top-down (reference: Hnsw::generate,
     src/lib.rs:825-893).
@@ -298,6 +299,11 @@ def generate(
     ``improver(layers) -> layers`` is invoked after every layer (the reference
     calls ``improve_index`` there, src/lib.rs:876); the index-level wrapper
     wires in the optimization loop to avoid a module cycle.
+
+    ``initial_layers``: resume a partially-built ladder (e.g. from a mid-build
+    checkpoint): the given stack is kept as-is and construction continues with
+    the remaining (strictly larger) ladder rungs.  No reference analogue —
+    the reference's generate is a single uninterruptible call.
     """
     rng = np.random.default_rng(seed)
     vs = np.asarray(vector_ids, dtype=np.int64).copy()
@@ -309,6 +315,17 @@ def generate(
     partitions = calculate_partitions(total, bp.order)
     layers: List[Layer] = []
     i = 0
+    if initial_layers:
+        layers = list(initial_layers)
+        built = [l.node_count for l in layers]
+        assert built[-1] <= total
+        # splice the checkpointed stack in as the ladder prefix (promotions
+        # may have inserted rungs the ladder math didn't predict — same
+        # refresh rule as below)
+        partitions = built + [p for p in partitions if p > built[-1]]
+        i = len(built)
+        for _ in range(i):
+            key, _ = jax.random.split(key)
     while i != len(partitions):
         layer_count = len(partitions)
         length = partitions[i]

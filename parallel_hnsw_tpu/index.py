@@ -76,9 +76,12 @@ class Hnsw:
 
         ``checkpoint_dir``: persist the stack after every ladder layer (the
         reference only has whole-index persistence; mid-build checkpoints make
-        long builds resumable/inspectable).  Structured phase updates flow
-        through the progress monitor.
+        long builds resumable/inspectable).  If the directory already holds a
+        partial ladder checkpoint, the build RESUMES from it: the stored stack
+        becomes the ladder prefix and only the remaining larger rungs are
+        built.  Structured phase updates flow through the progress monitor.
         """
+        import os as _os
         import time as _time
 
         bp = bp or BuildParams()
@@ -87,6 +90,20 @@ class Hnsw:
             vector_ids = jnp.arange(source.count, dtype=ID_DTYPE)
         self_ref = cls([], source, metric, bp, verbose)
         t_start = _time.time()
+
+        initial_layers = None
+        if checkpoint_dir is not None and _os.path.exists(
+            _os.path.join(checkpoint_dir, "meta")
+        ):
+            from parallel_hnsw_tpu.io import deserialize_hnsw
+
+            prev = deserialize_hnsw(checkpoint_dir, source=source)
+            if prev.layers and prev.layers[-1].node_count <= source.count:
+                initial_layers = prev.layers
+                self_ref._log(
+                    f"resuming from checkpoint: {len(initial_layers)} layers, "
+                    f"bottom {initial_layers[-1].node_count}"
+                )
 
         def improver(layers: List[Layer]) -> List[Layer]:
             monitor.update(
@@ -120,7 +137,10 @@ class Hnsw:
             return self_ref.layers
 
         build_source = self_ref.compute_source  # densified for PQ (same distances)
-        layers = _build.generate(build_source, vector_ids, bp, metric, seed, improver)
+        layers = _build.generate(
+            build_source, vector_ids, bp, metric, seed, improver,
+            initial_layers=initial_layers,
+        )
         self_ref.layers = layers
         if improve and bp.final_relink_sweeps > 0:
             from parallel_hnsw_tpu.utils.trace import TRACER

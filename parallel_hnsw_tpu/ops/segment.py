@@ -23,6 +23,13 @@ import jax.numpy as jnp
 from parallel_hnsw_tpu.constants import DIST_DTYPE, EMPTY_DIST, EMPTY_ID, ID_DTYPE
 
 
+# Cap on a single flat lax.sort's element count.  A 96M-edge 3-operand sort
+# (the 1M x 48 symmetrize) crashes the TPU worker outright; 8M-edge sorts
+# (the 100k configs) are proven safe.  Larger edge lists are folded through
+# bounded chunks and merged row-wise below.
+MAX_SORT_ELEMENTS = 8 << 20
+
+
 def rebuild_rows(
     n_rows: int,
     m: int,
@@ -32,7 +39,57 @@ def rebuild_rows(
 ) -> Tuple[jax.Array, jax.Array]:
     """Keep the best ``m`` unique ``src`` per ``dst`` row, sorted by
     ``(dist, src)``.  Returns ``(neighbors [n_rows, m], dists [n_rows, m])``
-    with EMPTY padding."""
+    with EMPTY padding.
+
+    Edge lists beyond MAX_SORT_ELEMENTS are processed as a fold: each chunk
+    rebuilds a partial ``[n_rows, m]`` slab (bounded flat sort), and slabs
+    merge row-wise with dedup-by-src-keep-min — mathematically identical to
+    the single-shot rebuild because a fixed-capacity best-m union is
+    associative."""
+    e = dst.shape[0]
+    if e <= MAX_SORT_ELEMENTS:
+        return _rebuild_rows_flat(n_rows, m, dst, src, dist)
+    acc_i = acc_d = None
+    for s in range(0, e, MAX_SORT_ELEMENTS):
+        pi, pd = _rebuild_rows_flat(
+            n_rows, m, dst[s : s + MAX_SORT_ELEMENTS],
+            src[s : s + MAX_SORT_ELEMENTS], dist[s : s + MAX_SORT_ELEMENTS],
+        )
+        if acc_i is None:
+            acc_i, acc_d = pi, pd
+        else:
+            acc_i, acc_d = _merge_slabs(acc_i, acc_d, pi, pd, m)
+    return acc_i, acc_d
+
+
+def _merge_slabs(a_i, a_d, b_i, b_d, m: int) -> Tuple[jax.Array, jax.Array]:
+    """Row-wise best-m merge of two (dist, src)-sorted EMPTY-padded slabs,
+    dedup by src keeping the smaller distance (robust to fp-path skew)."""
+    cat_i = jnp.concatenate([a_i, b_i], axis=-1)
+    cat_d = jnp.concatenate([a_d, b_d], axis=-1)
+    # group by src: (src, dist) lex sort puts duplicates adjacent, best first
+    i1, d1 = jax.lax.sort((cat_i, cat_d), dimension=-1, num_keys=2, is_stable=True)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros(i1.shape[:-1] + (1,), bool),
+            (i1[..., 1:] == i1[..., :-1]) & (i1[..., 1:] != EMPTY_ID),
+        ],
+        axis=-1,
+    )
+    i1 = jnp.where(dup, EMPTY_ID, i1)
+    d1 = jnp.where(dup, EMPTY_DIST, d1)
+    # rank by (dist, src)
+    d2, i2 = jax.lax.sort((d1, i1), dimension=-1, num_keys=2, is_stable=True)
+    return i2[..., :m], d2[..., :m]
+
+
+def _rebuild_rows_flat(
+    n_rows: int,
+    m: int,
+    dst: jax.Array,
+    src: jax.Array,
+    dist: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
     # drop self-edges and invalid entries
     invalid = (dst == src) | (dst == EMPTY_ID) | (src == EMPTY_ID) | ~jnp.isfinite(dist)
     dst = jnp.where(invalid, EMPTY_ID, dst)

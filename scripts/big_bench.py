@@ -129,7 +129,16 @@ def build_graph(source, metric, tag, efc=100, recall_prop=0.02):
     )
     ckpt = f"/tmp/idx_{tag}"
     t0 = time.time()
+    complete = False
     if os.path.exists(os.path.join(ckpt, "meta")):
+        import json as _json
+
+        meta = _json.loads(open(os.path.join(ckpt, "meta")).read())
+        bottom = _json.loads(
+            open(os.path.join(ckpt, "layer.meta.0")).read()
+        )["node_count"]
+        complete = bottom >= source.count
+    if complete:
         from parallel_hnsw_tpu.io import deserialize_hnsw
 
         index = deserialize_hnsw(ckpt, source=source)

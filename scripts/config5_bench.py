@@ -92,7 +92,7 @@ def dryrun(n_devices: int = 16) -> None:
     hits = (np.asarray(ids)[:, 0] == np.arange(4 * n_devices)).mean()
     print(json.dumps({
         "config": f"config5_dryrun_{n_devices}dev",
-        "geometry": f"{count}x{dim} pq96x8 u16, {n_devices} shards",
+        "geometry": f"{count}x{dim} pq{dim//dsub}x{dsub} u16, {n_devices} shards",
         "self_hit": float(hits), "ok": bool(hits > 0.9),
     }), flush=True)
 

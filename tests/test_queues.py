@@ -151,3 +151,31 @@ def test_sort_and_dedup():
     np.testing.assert_array_equal(si, [1, 5, 5, E])
     di, dd = dedup_sorted(si, sd)
     np.testing.assert_array_equal(di, [1, 5, E, E])
+
+
+def test_chunked_rebuild_rows_matches_flat(monkeypatch):
+    """The folded (chunked) rebuild must reproduce the single-shot rebuild
+    exactly — including cross-chunk duplicate (dst, src) edges with skewed
+    fp distances (dedup keeps the min)."""
+    import numpy as np
+
+    from parallel_hnsw_tpu.ops import segment
+
+    rng = np.random.default_rng(7)
+    n, m, e = 50, 4, 4000
+    dst = rng.integers(0, n, size=e).astype(np.int32)
+    src = rng.integers(0, n, size=e).astype(np.int32)
+    dist = rng.uniform(0, 1, size=e).astype(np.float32)
+    # inject duplicates with slightly different distances across the array
+    dst[e // 2 :] = dst[: e // 2]
+    src[e // 2 :] = src[: e // 2]
+    dist[e // 2 :] = dist[: e // 2] + rng.uniform(0, 1e-3, size=e // 2).astype(
+        np.float32
+    )
+
+    args = (jnp.asarray(dst), jnp.asarray(src), jnp.asarray(dist))
+    flat_i, flat_d = segment._rebuild_rows_flat(n, m, *args)
+    monkeypatch.setattr(segment, "MAX_SORT_ELEMENTS", 512)
+    fold_i, fold_d = segment.rebuild_rows(n, m, *args)
+    np.testing.assert_array_equal(np.asarray(fold_i), np.asarray(flat_i))
+    np.testing.assert_allclose(np.asarray(fold_d), np.asarray(flat_d))

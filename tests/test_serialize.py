@@ -99,3 +99,36 @@ def test_quantized_round_trip(tmp_path):
     i1, _ = q.search(src.vectors[:10], exact_quantize=True)
     i2, _ = loaded.search(src.vectors[:10], exact_quantize=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_generate_resumes_from_partial_checkpoint(tmp_path):
+    """A mid-build ladder checkpoint (upper rungs only) is resumed: the
+    stored stack becomes the ladder prefix and only larger rungs are built."""
+    source = random_unit_corpus(300, 8)
+    bp = BuildParams(
+        order=6,
+        neighborhood_size=4,
+        zero_layer_neighborhood_size=8,
+        optimization=OptimizationParams(recall_proportion=1.0),
+    )
+    full = Hnsw.generate(source, None, bp, Metric.NORMALIZED_COSINE, seed=2)
+    assert full.layer_count >= 2
+
+    # simulate a crash after the first rungs: checkpoint only the upper stack
+    partial = Hnsw(full.layers[:-1], source, full.metric, bp)
+    ckpt = tmp_path / "ckpt"
+    serialize_hnsw(partial, ckpt, store_source=False)
+
+    resumed = Hnsw.generate(
+        source, None, bp, Metric.NORMALIZED_COSINE, seed=2,
+        checkpoint_dir=str(ckpt),
+    )
+    # the checkpointed prefix is preserved as ladder rungs and the bottom
+    # rung covers the whole corpus
+    assert resumed.layer_count >= full.layer_count
+    assert resumed.layers[-1].node_count == 300
+    counts = [l.node_count for l in resumed.layers]
+    assert counts[: partial.layer_count] == [l.node_count for l in partial.layers]
+    # and the resumed index searches fine
+    ids, _ = resumed.search(source.vectors[:16])
+    assert (np.asarray(ids[:, 0]) == np.arange(16)).mean() >= 0.9
