@@ -71,8 +71,11 @@ def fast_flat_knn(
     @_ft.partial(jax.jit, static_argnames=("metric", "kk"))
     def scan_block(q, vecs, offset, metric, kk):
         d = best_pairwise_distance(q, vecs, metric, exact=False)
-        neg_d, idx = jax.lax.top_k(-d, kk)
-        return (idx + offset).astype(ID_DTYPE), -neg_d
+        # approx_min_k is the TPU-native partial reduction (top_k at the
+        # oversampled width dominated the bf16 matmul savings); misses are
+        # covered by the oversample + exact rerank
+        dd, idx = jax.lax.approx_min_k(d, kk)
+        return (idx + offset).astype(ID_DTYPE), dd
 
     @_ft.partial(jax.jit, static_argnames=("k_scan",))
     def merge_blocks(ids_a, d_a, ids_b, d_b, k_scan):
