@@ -384,6 +384,12 @@ class QuantizedHnsw:
         def score_block(q, codes, codebook, offset, k):
             feats = reconstruct(codebook, codes)
             d = best_pairwise_distance(q, feats, metric, exact=not rerank)
+            if rerank:
+                # approx_min_k: the TPU-native partial reduce; misses are
+                # covered by the oversample + exact rerank (same scheme as
+                # analysis.fast_flat_knn)
+                dd, idx = jax.lax.approx_min_k(d, k)
+                return (idx + offset).astype(ID_DTYPE), dd
             neg_d, idx = jax.lax.top_k(-d, k)
             return (idx + offset).astype(ID_DTYPE), -neg_d
 
