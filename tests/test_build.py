@@ -97,3 +97,21 @@ def test_euclidean_build_and_search():
     hnsw = Hnsw.generate(source, None, bp, Metric.EUCLIDEAN, seed=13)
     recall = first_hit_recall(hnsw.layers, source, Metric.EUCLIDEAN, bp.optimization.search)
     assert recall >= 0.95, recall
+
+
+def test_neighborhood_order_sweep():
+    """reference: test_neighborhood_order (src/lib.rs:2306-2343) at test
+    scale — the order parameter shapes the ladder, and every order builds a
+    searchable graph."""
+    source = random_unit_corpus(700, 24, seed=21)
+    ladder_counts = {}
+    for order in (6, 12, 24):
+        bp = BuildParams(order=order)
+        layers = generate(source, jnp.arange(700), bp, Metric.NORMALIZED_COSINE, seed=4)
+        recall = first_hit_recall(
+            layers, source, Metric.NORMALIZED_COSINE, bp.optimization.search
+        )
+        assert recall >= 0.8, f"order={order} recall {recall}"
+        ladder_counts[order] = [l.node_count for l in layers]
+    # different orders genuinely produce different ladders
+    assert ladder_counts[6] != ladder_counts[24]
