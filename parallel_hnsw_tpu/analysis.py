@@ -38,7 +38,9 @@ def brute_force_knn(
     Delegates to :func:`blocked_topk_pairwise`, which bounds the live
     distance matrix (corpus AND query blocked) so million-row corpora scan
     within the HBM budget."""
-    vecs = source_get(source, jnp.arange(source.count))
+    from parallel_hnsw_tpu.graph import materialize_source
+
+    vecs = materialize_source(source)
     return blocked_topk_pairwise(queries, vecs, metric, k, row_block=query_block)
 
 
@@ -81,7 +83,7 @@ def fast_flat_knn(
     def merge_blocks(ids_a, d_a, ids_b, d_b, k_scan):
         ids = jnp.concatenate([ids_a, ids_b], axis=-1)
         d = jnp.concatenate([d_a, d_b], axis=-1)
-        d, ids = jax.lax.sort((d, ids), num_keys=1)
+        d, ids = jax.lax.sort((d, ids), num_keys=2)
         return ids[:, :k_scan], d[:, :k_scan]
 
     @_ft.partial(jax.jit, static_argnames=("metric", "k"))
@@ -89,7 +91,7 @@ def fast_flat_knn(
         from parallel_hnsw_tpu.ops.distance import batched_distance
 
         d = batched_distance(q, vecs_cand, metric)
-        d, ids = jax.lax.sort((d, cand_ids), num_keys=1)
+        d, ids = jax.lax.sort((d, cand_ids), num_keys=2)
         return ids[:, :k], d[:, :k]
 
     k_scan = max(k, k * oversample)
@@ -109,10 +111,17 @@ def fast_flat_knn(
                 best_i, best_d = idx, dd
             else:
                 best_i, best_d = merge_blocks(best_i, best_d, idx, dd, k_scan)
-        cand = source_get(source, best_i)
-        r_ids, r_d = rerank_block(q, best_i, cand, metric, k)
-        out_i.append(r_ids)
-        out_d.append(r_d)
+        # bound the [rows, k_scan, D] rerank gather to the byte budget
+        # (the exact [Q, ef, D] gather OOMed at 10k x 300 x 1536 pre-budget)
+        width = getattr(source, "dim", queries.shape[-1])
+        rb = max(64, MATRIX_BYTE_BUDGET // max(1, k_scan * width * 4))
+        for rs in range(0, q.shape[0], rb):
+            cand = source_get(source, best_i[rs : rs + rb])
+            r_ids, r_d = rerank_block(
+                q[rs : rs + rb], best_i[rs : rs + rb], cand, metric, k
+            )
+            out_i.append(r_ids)
+            out_d.append(r_d)
     return jnp.concatenate(out_i), jnp.concatenate(out_d)
 
 
@@ -429,15 +438,26 @@ def blocked_topk_pairwise(
                 s_d, s_i = jax.lax.sort((cat_d, cat_i), num_keys=2)
                 best_i, best_d = s_i[:, :k_scan], s_d[:, :k_scan]
         if fast:
-            best_i, best_d = rerank(
-                q,
-                best_i,
-                jnp.take(corpus_feats, best_i, axis=0),
-                (exclude_diag_offset + rs) if exclude_diag_offset is not None else 0,
-                metric,
-                k,
-                exclude_diag_offset is None,
-            )
+            # bound the [rows, k_scan, D] rerank gather like the scan blocks
+            width = corpus_feats.shape[-1]
+            rb = max(64, MATRIX_BYTE_BUDGET // max(1, k_scan * width * 4))
+            rr_i, rr_d = [], []
+            for ss in range(0, q.shape[0], rb):
+                ri, rd = rerank(
+                    q[ss : ss + rb],
+                    best_i[ss : ss + rb],
+                    jnp.take(corpus_feats, best_i[ss : ss + rb], axis=0),
+                    (exclude_diag_offset + rs + ss)
+                    if exclude_diag_offset is not None
+                    else 0,
+                    metric,
+                    k,
+                    exclude_diag_offset is None,
+                )
+                rr_i.append(ri)
+                rr_d.append(rd)
+            best_i = jnp.concatenate(rr_i)
+            best_d = jnp.concatenate(rr_d)
         out_i.append(best_i)
         out_d.append(best_d)
     return jnp.concatenate(out_i), jnp.concatenate(out_d)

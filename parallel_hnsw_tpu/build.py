@@ -318,21 +318,27 @@ def generate(
     if initial_layers:
         layers = list(initial_layers)
         built = [l.node_count for l in layers]
-        assert built[-1] <= total
+        if built[-1] > total:
+            raise ValueError(
+                f"checkpoint bottom layer ({built[-1]} nodes) exceeds the "
+                f"corpus ({total}) — wrong checkpoint for this build"
+            )
         # splice the checkpointed stack in as the ladder prefix (promotions
         # may have inserted rungs the ladder math didn't predict — same
         # refresh rule as below)
         partitions = built + [p for p in partitions if p > built[-1]]
         i = len(built)
-        for _ in range(i):
-            key, _ = jax.random.split(key)
     while i != len(partitions):
         layer_count = len(partitions)
         length = partitions[i]
         level = layer_count - i - 1
         slice_length = min(length, total)
         m = bp.zero_layer_neighborhood_size if level == 0 else bp.neighborhood_size
-        key, sub = jax.random.split(key)
+        # per-rung key derived from the rung SIZE, not from split history:
+        # rung sizes strictly increase down the ladder (promotion-inserted
+        # rungs included), so keys are unique within a build, and a resumed
+        # build reproduces the exact keys an uninterrupted build would use
+        sub = jax.random.fold_in(key, slice_length)
         from parallel_hnsw_tpu.utils.trace import TRACER
 
         with TRACER.span("generate_layer", level=level, nodes=slice_length):

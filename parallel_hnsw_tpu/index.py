@@ -91,19 +91,37 @@ class Hnsw:
         self_ref = cls([], source, metric, bp, verbose)
         t_start = _time.time()
 
+        ckpt_meta = {
+            "build_seed": seed,
+            "corpus_count": int(source.count),
+        }
         initial_layers = None
         if checkpoint_dir is not None and _os.path.exists(
             _os.path.join(checkpoint_dir, "meta")
         ):
-            from parallel_hnsw_tpu.io import deserialize_hnsw
+            from parallel_hnsw_tpu.io import deserialize_hnsw, read_index_meta
+            from parallel_hnsw_tpu.params import params_to_dict
 
-            prev = deserialize_hnsw(checkpoint_dir, source=source)
-            if prev.layers and prev.layers[-1].node_count <= source.count:
-                initial_layers = prev.layers
+            meta = read_index_meta(checkpoint_dir)
+            compatible = (
+                meta.get("build_seed") == seed
+                and meta.get("corpus_count") == int(source.count)
+                and meta.get("metric") == metric.value
+                and meta.get("build_parameters") == params_to_dict(bp)
+            )
+            if not compatible:
                 self_ref._log(
-                    f"resuming from checkpoint: {len(initial_layers)} layers, "
-                    f"bottom {initial_layers[-1].node_count}"
+                    "checkpoint is from a different build (seed/corpus/metric/"
+                    "params mismatch) — ignoring it and rebuilding from scratch"
                 )
+            else:
+                prev = deserialize_hnsw(checkpoint_dir, source=source)
+                if prev.layers and prev.layers[-1].node_count <= source.count:
+                    initial_layers = prev.layers
+                    self_ref._log(
+                        f"resuming from checkpoint: {len(initial_layers)} layers, "
+                        f"bottom {initial_layers[-1].node_count}"
+                    )
 
         def improver(layers: List[Layer]) -> List[Layer]:
             monitor.update(
@@ -117,7 +135,10 @@ class Hnsw:
                 from parallel_hnsw_tpu.io import serialize_hnsw
 
                 self_ref.layers = layers
-                serialize_hnsw(self_ref, checkpoint_dir, store_source=False)
+                serialize_hnsw(
+                    self_ref, checkpoint_dir, store_source=False,
+                    extra_meta=ckpt_meta,
+                )
             if not improve:
                 return layers
             monitor.alive()
@@ -161,7 +182,9 @@ class Hnsw:
         if checkpoint_dir is not None:
             from parallel_hnsw_tpu.io import serialize_hnsw
 
-            serialize_hnsw(self_ref, checkpoint_dir, store_source=False)
+            serialize_hnsw(
+                self_ref, checkpoint_dir, store_source=False, extra_meta=ckpt_meta
+            )
         return self_ref
 
     # Densified compute cache: PQ reconstruction is deterministic, so when

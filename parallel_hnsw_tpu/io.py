@@ -89,11 +89,22 @@ def deserialize_source(path: Union[str, Path]) -> Source:
 # -- hnsw serialization ------------------------------------------------------
 
 
-def serialize_hnsw(hnsw: Hnsw, path: Union[str, Path], store_source: bool = True) -> None:
+def serialize_hnsw(
+    hnsw: Hnsw,
+    path: Union[str, Path],
+    store_source: bool = True,
+    extra_meta: Optional[dict] = None,
+) -> None:
     """reference: serialize_hnsw (serialize.rs:33-124)."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     layer_count = hnsw.layer_count
+
+    # invalidate any previous meta up front: a crash mid-overwrite must not
+    # leave stale meta that blesses a mix of old/new/truncated layer files
+    meta_path = path / "meta"
+    if meta_path.exists():
+        meta_path.unlink()
 
     if store_source:
         serialize_source(hnsw.source, path / "comparator")
@@ -122,7 +133,14 @@ def serialize_hnsw(hnsw: Hnsw, path: Union[str, Path], store_source: bool = True
         "metric": hnsw.metric.value,
         "build_parameters": params_to_dict(hnsw.build_parameters),
     }
+    if extra_meta:
+        meta.update(extra_meta)
     (path / "meta").write_text(json.dumps(meta))
+
+
+def read_index_meta(path: Union[str, Path]) -> dict:
+    """Read the index meta JSON (raises if absent/incomplete)."""
+    return json.loads((Path(path) / "meta").read_text())
 
 
 def deserialize_hnsw(

@@ -246,7 +246,7 @@ def link_layer_to_better_neighbors(
 
     feat_bytes = stack[-1].node_count * source_effective_width(source) * 4
     if (
-        exact_threshold
+        fast_threshold
         and 0 < stack[-1].node_count <= fast_threshold
         and feat_bytes <= FAST_RELINK_BYTE_BUDGET
     ):

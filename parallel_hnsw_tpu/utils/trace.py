@@ -46,8 +46,9 @@ def _sync(x: Any) -> None:
     if not leaves:
         return
     leaf = leaves[-1]
-    flat = leaf.reshape(-1) if getattr(leaf, "ndim", 0) else leaf
-    np.asarray(flat[-1] if getattr(flat, "shape", (0,))[0:1] else flat)
+    if getattr(leaf, "size", 0) == 0:
+        return
+    np.asarray(leaf.reshape(-1)[-1] if getattr(leaf, "ndim", 0) else leaf)
 
 
 class Tracer:

@@ -115,9 +115,13 @@ def test_generate_resumes_from_partial_checkpoint(tmp_path):
     assert full.layer_count >= 2
 
     # simulate a crash after the first rungs: checkpoint only the upper stack
+    # (with the build-identity meta a real mid-build checkpoint carries)
     partial = Hnsw(full.layers[:-1], source, full.metric, bp)
     ckpt = tmp_path / "ckpt"
-    serialize_hnsw(partial, ckpt, store_source=False)
+    serialize_hnsw(
+        partial, ckpt, store_source=False,
+        extra_meta={"build_seed": 2, "corpus_count": 300},
+    )
 
     resumed = Hnsw.generate(
         source, None, bp, Metric.NORMALIZED_COSINE, seed=2,
@@ -132,3 +136,28 @@ def test_generate_resumes_from_partial_checkpoint(tmp_path):
     # and the resumed index searches fine
     ids, _ = resumed.search(source.vectors[:16])
     assert (np.asarray(ids[:, 0]) == np.arange(16)).mean() >= 0.9
+
+
+def test_resume_rejects_mismatched_checkpoint(tmp_path):
+    """A checkpoint from a different seed/corpus must NOT be spliced in —
+    generate ignores it and rebuilds (guard against silently resuming the
+    wrong build)."""
+    source = random_unit_corpus(300, 8)
+    bp = BuildParams(
+        order=6, neighborhood_size=4, zero_layer_neighborhood_size=8,
+        optimization=OptimizationParams(recall_proportion=1.0),
+    )
+    full = Hnsw.generate(source, None, bp, Metric.NORMALIZED_COSINE, seed=2)
+    ckpt = tmp_path / "ckpt"
+    serialize_hnsw(
+        Hnsw(full.layers[:-1], source, full.metric, bp), ckpt, store_source=False,
+        extra_meta={"build_seed": 99, "corpus_count": 300},  # wrong seed
+    )
+    rebuilt = Hnsw.generate(
+        source, None, bp, Metric.NORMALIZED_COSINE, seed=2,
+        checkpoint_dir=str(ckpt),
+    )
+    # rebuilt from scratch: same result as an uninterrupted same-seed build
+    assert rebuilt.layer_count == full.layer_count
+    for la, lb in zip(rebuilt.layers, full.layers):
+        np.testing.assert_array_equal(np.asarray(la.nodes), np.asarray(lb.nodes))
