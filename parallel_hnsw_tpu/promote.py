@@ -128,15 +128,39 @@ def filter_promotion_candidates(
         r_ids, r_dists = search(list(layers[:layer_from_top]), source, metric, queries, sp)
         radii = np.asarray(r_dists[:, 0])
 
-        # pairwise distances among candidates for the greedy cover
+        # greedy hypersphere cover, blocked: the full [k, k] candidate
+        # distance matrix OOMs at tens of thousands of candidates (config-5
+        # scale), so compute one [picked_so_far, B] cross block + one [B, B]
+        # in-block matrix per column block instead
         cand_feats = source_get(source, jnp.asarray(cand_vecs, ID_DTYPE))
-        dmat = np.asarray(pairwise_distance(cand_feats, cand_feats, metric))
-
         picked: List[int] = []
-        for i in range(len(cand_vecs)):
-            if picked and bool(np.any(dmat[picked, i] < radii[picked])):
-                continue
-            picked.append(i)
+        block = 4096
+        k_cand = len(cand_vecs)
+        for bs in range(0, k_cand, block):
+            be = min(bs + block, k_cand)
+            feats_b = cand_feats[bs:be]
+            in_block = np.asarray(pairwise_distance(feats_b, feats_b, metric))
+            prior = np.asarray(picked, dtype=np.int64)  # all < bs by construction
+            if prior.size:
+                cross = np.asarray(
+                    pairwise_distance(
+                        cand_feats[jnp.asarray(prior, ID_DTYPE)], feats_b, metric
+                    )
+                )
+                prior_radii = radii[prior]
+            block_picks: List[int] = []
+            for bi in range(be - bs):
+                if prior.size and bool(np.any(cross[:, bi] < prior_radii)):
+                    continue
+                if block_picks and bool(
+                    np.any(
+                        in_block[np.asarray(block_picks), bi]
+                        < radii[bs + np.asarray(block_picks)]
+                    )
+                ):
+                    continue
+                block_picks.append(bi)
+            picked.extend(bs + b for b in block_picks)
         result.append((order, cand_vecs[picked]))
     return result
 
