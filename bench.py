@@ -162,7 +162,7 @@ def main() -> None:
         # progressively cheaper (ef, probe_depth) points and keep the fastest
         # one that clears the floor.  The ef=300 reference-default number above
         # remains the parity anchor.
-        for ef, pd in ((100, 2), (60, 2), (40, 2), (24, 2)):
+        for ef, pd in ((100, 2), (60, 2), (40, 2), (24, 2), (16, 2), (12, 1)):
             sp_try = sp.replace(
                 number_of_candidates=ef,
                 upper_layer_candidate_count=min(ef, sp.upper_layer_candidate_count),
