@@ -62,19 +62,18 @@ def _gather_kernel(idx_ref, corpus_ref, out_ref, sems):
 def dma_gather(idx, corpus):
     r = idx.shape[0]
     d = corpus.shape[1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(r // ROWS_PER_BLOCK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (ROWS_PER_BLOCK, d), lambda b, idx_ref: (b, 0)
-        ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((NBUF,))],
-    )
+    # indices ride in as per-block VMEM inputs (the full index array blew
+    # the 1MB SMEM scalar-prefetch budget at 1.5M rows)
     return pl.pallas_call(
         _gather_kernel,
         out_shape=jax.ShapeDtypeStruct((r, d), corpus.dtype),
-        grid_spec=grid_spec,
+        grid=(r // ROWS_PER_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((ROWS_PER_BLOCK,), lambda b: (b,)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((ROWS_PER_BLOCK, d), lambda b: (b, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((NBUF,))],
     )(idx, corpus)
 
 
