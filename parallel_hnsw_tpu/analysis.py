@@ -55,14 +55,15 @@ def fast_flat_knn(
 ):
     """Top-k by fast-precision flat scan + exact rerank. Returns (ids, dists).
 
-    The TPU-native speed engine for dense corpora up to the low millions:
-    stream the corpus through the MXU at default (bf16-accumulated) precision
-    — ~5x cheaper than the ``precision=HIGHEST`` exact scan — keeping
-    ``oversample * k`` survivors per corpus block, then rerank the survivors
-    with full-precision distances and cut to ``k``.  Misrankings introduced
-    by the low-precision pass are recovered as long as true neighbors stay
-    within the oversampled beam (recall == exact scan in practice; the
-    regression test asserts it).
+    The TPU-native speed engine for dense corpora: bf16-accumulated MXU
+    passes with ``oversample * k`` survivors and a full-precision rerank.
+    Below ~200k rows the scan is exhaustive per block (recall == exact scan;
+    the regression test asserts it).  At or above that, it switches to the
+    fused binned-scan kernel (``ops.pallas_scan``): each distance tile
+    reduces to per-congruence-class minima inside the kernel, collapsing HBM
+    traffic and the reduce cost — measured 39k QPS at 1M x 128 vs 12.8k for
+    the exact scan, at recall@10 ~0.997 with oversample=4 (raise
+    ``oversample`` to push recall toward 1).
 
     The reference has no analogue (flat scan is hopeless on CPU at this
     scale); cited for contrast with `benches/bench.rs:54-63`'s graph-only
@@ -70,12 +71,27 @@ def fast_flat_knn(
     """
     import functools as _ft
 
-    @_ft.partial(jax.jit, static_argnames=("metric", "kk"))
-    def scan_block(q, vecs, offset, metric, kk):
+    from parallel_hnsw_tpu.ops.pallas_scan import LANES, binned_scan
+
+    tile_c = 4096
+
+    @_ft.partial(jax.jit, static_argnames=("metric", "kk", "tile_c", "binned"))
+    def scan_block(q, vecs, offset, metric, kk, tile_c, binned):
+        if binned:
+            # fused Pallas scan: each [TQ, tile_c] distance tile reduces to
+            # 128 congruence-class minima before touching HBM (binned_study:
+            # 3.1x over materialize+top_k at 1M x 128); approx_min_k then
+            # runs on the 32x-reduced matrix.  Misses (closer row sharing
+            # tile AND lane class, or approx bin drops) are covered by
+            # oversample + rerank.
+            bd, bc = binned_scan(q, vecs, metric, tile_c=tile_c, exact=False)
+            dd, pos = jax.lax.approx_min_k(bd, kk)
+            ids = jnp.take_along_axis(bc, pos, axis=-1) + offset
+            # padding bins carry inf — mark their ids EMPTY so the rerank
+            # excludes them (their gathers would otherwise clip to real rows)
+            ids = jnp.where(jnp.isfinite(dd), ids, EMPTY_ID)
+            return ids.astype(ID_DTYPE), dd
         d = best_pairwise_distance(q, vecs, metric, exact=False)
-        # approx_min_k is the TPU-native partial reduction (top_k at the
-        # oversampled width dominated the bf16 matmul savings); misses are
-        # covered by the oversample + exact rerank
         dd, idx = jax.lax.approx_min_k(d, kk)
         return (idx + offset).astype(ID_DTYPE), dd
 
@@ -91,13 +107,26 @@ def fast_flat_knn(
         from parallel_hnsw_tpu.ops.distance import batched_distance
 
         d = batched_distance(q, vecs_cand, metric)
+        d = jnp.where(cand_ids == EMPTY_ID, jnp.inf, d)
         d, ids = jax.lax.sort((d, cand_ids), num_keys=2)
         return ids[:, :k], d[:, :k]
 
     k_scan = max(k, k * oversample)
     n = source.count
-    # bound the live [query_block, corpus_block] f32 matrix
-    corpus_block = max(4096, min(corpus_block, MATRIX_BYTE_BUDGET // (query_block * 4)))
+    # chunk the corpus so the REDUCED bin matrix [qb, chunk/(tile_c/128)]
+    # stays within budget — the Pallas kernel never materializes the full
+    # distance matrix.  The XLA fallback DOES materialize [qb, chunk], so
+    # off-TPU the chunk keeps the unreduced bound.
+    # binned mode needs enough congruence classes to keep collision losses
+    # negligible; under ~200k rows the exhaustive bf16 scan is cheap anyway
+    binned = n >= 200_000
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    reduction = (tile_c // LANES) if (on_tpu and binned) else 1
+    corpus_block = max(
+        tile_c if binned else 4096,
+        min(corpus_block * reduction,
+            (MATRIX_BYTE_BUDGET // (query_block * 4)) * reduction),
+    )
     all_ids = jnp.arange(n)
     out_i, out_d = [], []
     for qs in range(0, queries.shape[0], query_block):
@@ -106,7 +135,7 @@ def fast_flat_knn(
         for cs in range(0, n, corpus_block):
             vecs = source_get(source, all_ids[cs : cs + corpus_block])
             kk = min(k_scan, vecs.shape[0])
-            idx, dd = scan_block(q, vecs, cs, metric, kk)
+            idx, dd = scan_block(q, vecs, cs, metric, kk, tile_c, binned)
             if best_i is None:
                 best_i, best_d = idx, dd
             else:
