@@ -379,10 +379,24 @@ class QuantizedHnsw:
         n = pq_src.count
 
         # scan precision: bf16 MXU passes are ~5x faster and the exact rerank
-        # restores full-precision ordering of the survivors
+        # restores full-precision ordering of the survivors.  Large corpora
+        # additionally use the fused binned-scan kernel on the reconstructed
+        # block — the per-tile congruence-class reduce that removes the
+        # materialize+top_k bottleneck (analysis.fast_flat_knn's scheme;
+        # collisions are covered by the oversample + rerank).
+        binned = rerank and n >= 200_000
+
         @functools.partial(jax.jit, static_argnames=("k",))
         def score_block(q, codes, codebook, offset, k):
             feats = reconstruct(codebook, codes)
+            if binned:
+                from parallel_hnsw_tpu.ops.pallas_scan import binned_scan
+
+                bd, bc = binned_scan(q, feats, metric, tile_c=4096, exact=False)
+                dd, pos = jax.lax.approx_min_k(bd, k)
+                idx = jnp.take_along_axis(bc, pos, axis=-1) + offset
+                idx = jnp.where(jnp.isfinite(dd), idx, EMPTY_ID)
+                return idx.astype(ID_DTYPE), dd
             d = best_pairwise_distance(q, feats, metric, exact=not rerank)
             if rerank:
                 # approx_min_k: the TPU-native partial reduce; misses are
@@ -394,6 +408,8 @@ class QuantizedHnsw:
             return (idx + offset).astype(ID_DTYPE), -neg_d
 
         k_scan = k * oversample if rerank else k
+        if binned:
+            code_block = max(code_block, 1 << 19)
         out_i, out_d = [], []
         for qs in range(0, queries.shape[0], query_block):
             q = queries[qs : qs + query_block]
@@ -407,7 +423,7 @@ class QuantizedHnsw:
                 else:
                     best_i = jnp.concatenate([best_i, idx], axis=-1)
                     best_d = jnp.concatenate([best_d, dd], axis=-1)
-                    bd, bi = jax.lax.sort((best_d, best_i), num_keys=1)
+                    bd, bi = jax.lax.sort((best_d, best_i), num_keys=2)
                     best_i, best_d = bi[:, :k_scan], bd[:, :k_scan]
             out_i.append(best_i)
             out_d.append(best_d)
