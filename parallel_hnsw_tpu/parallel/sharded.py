@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, ID_DTYPE
-from parallel_hnsw_tpu.graph import DenseSource, Layer, PqSource, Source
+from parallel_hnsw_tpu.graph import DenseSource, Layer, PqSource, Source, source_get
 from parallel_hnsw_tpu.index import Hnsw
 from parallel_hnsw_tpu.ops.distance import Metric
 from parallel_hnsw_tpu.ops.queues import sort_queue
@@ -248,6 +248,31 @@ class ShardedHnsw:
             sp,
             len(self.layers_stacked),
             k,
+        )
+
+    def search_exact(
+        self,
+        queries: jax.Array,
+        k: int = 10,
+        fast: bool = False,
+        oversample: int = 4,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Flat-scan the whole sharded corpus: every shard scans its slice
+        concurrently (exact MXU scan, or the fused binned kernel + in-shard
+        exact rerank when ``fast``), then a cross-shard all_gather top-k
+        merge over ICI.  The mesh-scale counterpart of
+        :meth:`Hnsw.search_exact` — the production serving path for the
+        100M PQ-sharded config when graph traversal isn't needed."""
+        return _sharded_flat_jit(
+            self.mesh,
+            self.axis,
+            self.source_stacked,
+            self.global_ids,
+            queries,
+            self.metric,
+            k,
+            fast,
+            oversample,
         )
 
     # -- shard round-trip (improve / persistence) -----------------------------
@@ -599,3 +624,94 @@ class ShardedQuantizedHnsw:
 
     def improve_index(self, bp: Optional[BuildParams] = None) -> float:
         return self.sharded.improve_index(bp)
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "metric", "k", "fast", "oversample"),
+)
+def _sharded_flat_jit(
+    mesh: Mesh,
+    axis: str,
+    source_stacked: Source,
+    global_ids: jax.Array,
+    queries: jax.Array,
+    metric: Metric,
+    k: int,
+    fast: bool,
+    oversample: int,
+):
+    ax = axis
+
+    def per_shard(source_stacked, global_ids, queries):
+        from parallel_hnsw_tpu.ops.distance import batched_distance
+        from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
+        from parallel_hnsw_tpu.ops.pallas_scan import binned_scan
+        from parallel_hnsw_tpu.ops.queues import dedup_sorted
+
+        local = _unstack_source(source_stacked)
+        gids = global_ids[0]
+        n_s = local.count
+        k_scan = min(k * oversample, n_s) if fast else min(k, n_s)
+        binned = fast and n_s >= 200_000
+        blk = 1 << 19
+        all_local = jnp.arange(n_s)
+        best_i = best_d = None
+        for cs in range(0, n_s, blk):
+            vecs = source_get(local, all_local[cs : cs + blk])
+            kk = min(k_scan, vecs.shape[0])
+            if binned:
+                bd, bc = binned_scan(queries, vecs, metric, tile_c=4096, exact=False)
+                dd, pos = jax.lax.approx_min_k(bd, kk)
+                idx = jnp.take_along_axis(bc, pos, axis=-1) + cs
+                idx = jnp.where(jnp.isfinite(dd), idx, EMPTY_ID).astype(ID_DTYPE)
+            elif fast:
+                d = best_pairwise_distance(queries, vecs, metric, exact=False)
+                dd, idx = jax.lax.approx_min_k(d, kk)
+                idx = (idx + cs).astype(ID_DTYPE)
+            else:
+                d = best_pairwise_distance(queries, vecs, metric)
+                neg_d, idx = jax.lax.top_k(-d, kk)
+                dd = -neg_d
+                idx = (idx + cs).astype(ID_DTYPE)
+            if best_i is None:
+                best_i, best_d = idx, dd
+            else:
+                ci = jnp.concatenate([best_i, idx], axis=-1)
+                cd = jnp.concatenate([best_d, dd], axis=-1)
+                cd, ci = jax.lax.sort((cd, ci), num_keys=2)
+                best_i, best_d = ci[:, :k_scan], cd[:, :k_scan]
+        if fast:
+            # in-shard exact rerank of the oversampled survivors
+            safe = jnp.clip(best_i, 0, n_s - 1)
+            cand = source_get(local, safe)
+            d = batched_distance(queries, cand, metric)
+            d = jnp.where(best_i == EMPTY_ID, jnp.inf, d)
+            d, best_i = jax.lax.sort((d, best_i), num_keys=2)
+            best_d = d
+        # local -> global ids (padding rows repeat real ids; dedup at merge)
+        safe = jnp.clip(best_i, 0, gids.shape[0] - 1)
+        g = jnp.where(best_i == EMPTY_ID, EMPTY_ID, jnp.take(gids, safe))
+        best_d = jnp.where(g == EMPTY_ID, EMPTY_DIST, best_d)
+        g, best_d = sort_queue(g, best_d)
+        g, best_d = g[:, :k], best_d[:, :k]
+        all_g = jax.lax.all_gather(g, ax)  # [S, Q, k]
+        all_d = jax.lax.all_gather(best_d, ax)
+        s_, q_, kk_ = all_g.shape
+        all_g = jnp.moveaxis(all_g, 0, 1).reshape(q_, s_ * kk_)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q_, s_ * kk_)
+        m_ids, m_d = sort_queue(all_g, all_d)
+        m_ids, m_d = dedup_sorted(m_ids, m_d)
+        return m_ids[:, :k], m_d[:, :k]
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            _source_specs(source_stacked, ax),
+            P(ax, None),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(source_stacked, global_ids, queries)
+

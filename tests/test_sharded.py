@@ -168,3 +168,19 @@ def test_sharded_pq_roundtrip(tmp_path, sharded_pq):
     i2, d2 = back.search(q, k=5, exact_quantize=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+def test_sharded_flat_scan_exact_and_fast(sharded):
+    """ShardedHnsw.search_exact: per-shard flat scans + ICI merge find the
+    true nearest neighbors across the whole sharded corpus."""
+    source, sh = sharded
+    queries = source.vectors[:24]
+    gt, _ = brute_force_knn(source, queries, sh.metric, 5)
+    gt = np.asarray(gt)
+    for fast in (False, True):
+        ids, dists = sh.search_exact(queries, k=5, fast=fast)
+        got = np.asarray(ids[:, :5])
+        recall = np.mean([len(np.intersect1d(got[i], gt[i])) for i in range(24)]) / 5
+        assert recall >= 0.99, (fast, recall)
+        # self-hit at distance ~0
+        assert (got[:, 0] == np.arange(24)).mean() >= 0.95
