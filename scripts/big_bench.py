@@ -202,10 +202,13 @@ def config4(count=10_000_000):
     source = DenseSource(vectors=jnp.concatenate(chunks))
 
     t0 = time.time()
-    cents = kmeans_centroids(
-        source.vectors[:500_000], 4096, dsub, iters=8, seed=0, sample=2_000_000
-    )
-    print(f"# kmeans ({len(cents)} centroids): {time.time()-t0:.0f}s", flush=True)
+    # 65535 random centroids (the reference's used path, u16 codes): a 4096
+    # k-means codebook left recall@10 at 0.85 even with oversample 32 — code
+    # resolution, not candidate count, was the limiter
+    from parallel_hnsw_tpu.pq import random_centroids
+
+    cents = random_centroids(source.vectors[:500_000], 65535, dsub, seed=0)
+    print(f"# centroids ({len(cents)}): {time.time()-t0:.0f}s", flush=True)
 
     centroid_source = DenseSource(vectors=jnp.asarray(cents))
     small_bp = BuildParams(
