@@ -158,8 +158,19 @@ def xla_binned_scan(
     return bin_d.reshape(q, -1), cols.reshape(q, -1)
 
 
+def clamp_tile_c(tile_c: int, d: int) -> int:
+    """Bound the corpus tile so the double-buffered VMEM working set
+    (corpus tile dominates: tile_c * d * 4B * 2) stays under ~10MB.
+    D=768 at tile_c=4096 blew the 16MB scoped-vmem limit by 8.5MB."""
+    cap = max(256, (10 << 20) // (d * 8) // LANES * LANES)
+    return max(LANES, min(tile_c, cap))
+
+
 def binned_scan(x, y, metric, tile_c: int = 2048, exact: bool = False):
-    """Dispatch: Pallas kernel on TPU, XLA fallback elsewhere."""
+    """Dispatch: Pallas kernel on TPU, XLA fallback elsewhere.  ``tile_c``
+    is clamped by vector width so the kernel fits VMEM; both backends use
+    the clamped value (identical binning semantics)."""
+    tile_c = clamp_tile_c(tile_c, x.shape[-1])
     platform = None
     try:
         devs = getattr(x, "devices", None)
