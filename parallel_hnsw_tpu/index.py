@@ -170,7 +170,7 @@ class Hnsw:
                 monitor.alive()
                 with TRACER.span("final_relink_sweep"):
                     for lft in range(self_ref.layer_count):
-                        self_ref.layers, _ = _optimize.link_layer_to_better_neighbors(
+                        self_ref.layers, _, _ = _optimize.link_layer_to_better_neighbors(
                             self_ref.layers, lft, build_source, metric,
                             bp.optimization.search,
                             exact_threshold=bp.optimization.exact_relink_threshold,

@@ -226,7 +226,15 @@ def link_layer_to_better_neighbors(
     ``node_block`` 0 = auto from a byte budget on the [block, M, D] row
     gather.  Tiering: exact MXU matches up to ``exact_threshold`` nodes,
     fast MXU matches (bf16 + rerank) up to ``fast_threshold`` when the
-    feature slab fits the byte budget, blocked graph search beyond."""
+    feature slab fits the byte budget, blocked graph search beyond.
+
+    Returns ``(layers, changed, tier)`` where ``tier`` names the relink path
+    taken (``"exact"``/``"fast"``/``"blocked"``/``"jit"``).  The exact/fast
+    tiers are **idempotent**: their match set is the true top-k of an MXU
+    scan — a pure function of (nodes, source), independent of the current
+    rows — and a fixed-capacity best-m union is idempotent over a fixed
+    added set, so re-running them on their own output provably changes
+    nothing.  Callers use that to skip confirmation sweeps."""
     stack = layers[: layer_from_top + 1]
     if node_block <= 0:
         from parallel_hnsw_tpu.build import _auto_node_block
@@ -241,7 +249,7 @@ def link_layer_to_better_neighbors(
         )
         out = list(layers)
         out[layer_from_top] = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
-        return out, changed
+        return out, changed, "exact"
     from parallel_hnsw_tpu.graph import source_effective_width
 
     feat_bytes = stack[-1].node_count * source_effective_width(source) * 4
@@ -255,7 +263,7 @@ def link_layer_to_better_neighbors(
         )
         out = list(layers)
         out[layer_from_top] = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
-        return out, changed
+        return out, changed, "fast"
     if stack[-1].node_count > node_block:
         from parallel_hnsw_tpu.graph import pad_layer
 
@@ -266,7 +274,7 @@ def link_layer_to_better_neighbors(
         new_layer = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
         out = list(layers)
         out[layer_from_top] = new_layer
-        return out, changed
+        return out, changed, "blocked"
     new_neighbors, changed = _relink_layer_jit(
         _flatten_stack(stack), source, metric, sp, len(stack), match_count
     )
@@ -276,7 +284,7 @@ def link_layer_to_better_neighbors(
     )
     out = list(layers)
     out[layer_from_top] = new_layer
-    return out, int(changed)
+    return out, int(changed), "jit"
 
 
 def stochastic_recall_at(
@@ -289,6 +297,8 @@ def stochastic_recall_at(
 ) -> float:
     """Sampled self-findability of layer ``at``-from-top's nodes via a full
     search (reference: stochastic_recall_at, src/lib.rs:1463-1499)."""
+    from parallel_hnsw_tpu.utils.trace import TRACER
+
     layer = layers[at]
     total = layer.node_count
     selection = max(1, int(total * op.recall_proportion))
@@ -298,9 +308,10 @@ def stochastic_recall_at(
         rng = np.random.default_rng(seed)
         idx = rng.permutation(total)[:selection]
         sample = jnp.take(layer.nodes, jnp.asarray(idx, ID_DTYPE))
-    queries = source_get(source, sample)
-    ids, _ = search(list(layers), source, metric, queries, op.search)
-    found = np.any(np.asarray(ids) == np.asarray(sample)[:, None], axis=-1)
+    with TRACER.span("stochastic_recall", queries=float(selection), at=float(at)):
+        queries = source_get(source, sample)
+        ids, _ = search(list(layers), source, metric, queries, op.search)
+        found = np.any(np.asarray(ids) == np.asarray(sample)[:, None], axis=-1)
     return float(found.mean())
 
 
@@ -332,27 +343,45 @@ def improve_neighbors_upto(
     assert 1 <= upto <= len(layers)
     monitor = ensure_monitor(monitor)
     last = last_recall if last_recall is not None else 0.0
+    # only recall values measured in THIS loop are known to describe the
+    # current graph; the caller's value may predate a mutation
+    have_measured = False
     improvement = 1.0
     from parallel_hnsw_tpu.utils.trace import TRACER
 
     while improvement >= op.neighborhood_threshold and last < 1.0:
+        total_changed = 0
+        all_idempotent = True
         for lft in range(upto):
             monitor.alive()
             with TRACER.span("relink_layer", layer_from_top=lft):
-                layers, changed = link_layer_to_better_neighbors(
+                layers, changed, tier = link_layer_to_better_neighbors(
                     layers, lft, source, metric, op.search,
                     exact_threshold=op.exact_relink_threshold,
                     fast_threshold=op.fast_relink_threshold,
                 )
+            total_changed += changed
+            all_idempotent &= tier in ("exact", "fast")
             TRACER.count("relinked", rows=float(changed))
             if log:
-                log(f"layer {lft}: relinked {changed}")
-        with TRACER.span("stochastic_recall", upto=upto):
-            recall = stochastic_recall_at(layers, upto - 1, source, metric, op)
+                log(f"layer {lft}: relinked {changed} ({tier})")
+        if total_changed == 0 and have_measured:
+            # no row changed, so the (deterministic, seed-42) recall measure
+            # would repeat ``last`` exactly and the loop would exit with
+            # improvement 0 — skip the redundant search
+            break
+        recall = stochastic_recall_at(layers, upto - 1, source, metric, op)
         improvement = recall - last
         last = recall
+        have_measured = True
         if log:
             log(f"recall at {upto}/{len(layers)}: {recall} (improvement {improvement})")
+        if all_idempotent:
+            # every layer took an exact/fast MXU relink, which is idempotent
+            # (see link_layer_to_better_neighbors): a second sweep provably
+            # changes no rows and the re-measure repeats ``recall``, so the
+            # loop would exit with improvement 0 — stop here
+            break
     return layers, last
 
 
@@ -433,13 +462,17 @@ def improve_index(
     log: Optional[Callable[[str], None]] = None,
     monitor: Optional[ProgressMonitor] = None,
 ) -> Tuple[List[Layer], float]:
-    """Reference: improve_index (src/lib.rs:1664-1686)."""
+    """Reference: improve_index (src/lib.rs:1664-1686).
+
+    The reference eagerly measures stochastic recall here and then passes
+    ``None`` to every ``improve_index_at`` call (src/lib.rs:1671-1680), so the
+    eager value is only ever used as a fallback return for an empty stack —
+    which is asserted away.  We skip that wasted full-stack search and let the
+    first ``improve_index_at`` measure lazily; control flow is identical.
+    """
     monitor = ensure_monitor(monitor)
-    recall = (
-        last_recall
-        if last_recall is not None
-        else stochastic_recall(layers, source, metric, bp.optimization)
-    )
+    assert len(layers) > 0
+    recall = last_recall if last_recall is not None else 0.0
     layer_from_top = 0
     while layer_from_top < len(layers):
         monitor.alive()

@@ -217,13 +217,15 @@ def promote_at_layer(
     """Reference: promote_at_layer (src/lib.rs:1273-1427); the monitor is
     polled between phases (reference threads it, src/lib.rs:1276)."""
     from parallel_hnsw_tpu.progress import ensure_monitor
+    from parallel_hnsw_tpu.utils.trace import TRACER
 
     monitor = ensure_monitor(monitor)
     say = log or (lambda s: None)
     monitor.alive()
-    vecs = discover_unreachable_vectors(
-        layers, layer_from_top, source, metric, bp.optimization.search
-    )
+    with TRACER.span("discover_unreachable", layer_from_top=float(layer_from_top)):
+        vecs = discover_unreachable_vectors(
+            layers, layer_from_top, source, metric, bp.optimization.search
+        )
     if len(vecs) == 0:
         return layers, False
     max_proportion = bp.optimization.promotion_proportion

@@ -30,7 +30,7 @@ def test_relink_improves_or_keeps_recall():
     source, bp, layers = build_small()
     op = bp.optimization.replace(recall_proportion=1.0)
     before = stochastic_recall(layers, source, METRIC, op)
-    layers2, changed = link_layer_to_better_neighbors(
+    layers2, changed, _ = link_layer_to_better_neighbors(
         layers, len(layers) - 1, source, METRIC, op.search
     )
     after = stochastic_recall(layers2, source, METRIC, op)
@@ -108,14 +108,16 @@ def test_fast_relink_tier_matches_exact_relink():
     """Above the exact threshold but under the fast threshold, relink must
     use the fast MXU tier and produce the same edges as the exact tier."""
     source, bp, layers = build_small(count=500)
-    exact_layers, _ = link_layer_to_better_neighbors(
+    exact_layers, _, tier = link_layer_to_better_neighbors(
         layers, len(layers) - 1, source, METRIC, bp.optimization.search,
         exact_threshold=1 << 20,
     )
-    fast_layers, _ = link_layer_to_better_neighbors(
+    assert tier == "exact"
+    fast_layers, _, tier = link_layer_to_better_neighbors(
         layers, len(layers) - 1, source, METRIC, bp.optimization.search,
         exact_threshold=1, fast_threshold=1 << 20,
     )
+    assert tier == "fast"
     np.testing.assert_array_equal(
         np.asarray(fast_layers[-1].neighbors), np.asarray(exact_layers[-1].neighbors)
     )
