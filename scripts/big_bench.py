@@ -166,6 +166,37 @@ def config2(count=1_000_000):
     sweep(index, source, metric, f"config2_{count}x128_L2")
 
 
+def clustered_corpus(count, dim, centers=1024, sigma=0.35, seed=7, normalize=False):
+    """Mixture-of-Gaussians corpus — the honest stand-in for real embedding
+    datasets (SIFT/DEEP vectors are clustered; uniform random at 96-128d is
+    the distance-concentration pathology, BENCH_NOTES config2/config4)."""
+    rng_key = jax.random.PRNGKey(seed)
+    k_centers, k_noise = jax.random.split(rng_key)
+    c = jax.random.normal(k_centers, (centers, dim), jnp.float32)
+    if normalize:
+        c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+    chunks = []
+    per = 500_000
+    for i in range(0, count, per):
+        kk1, kk2, k_noise = jax.random.split(jax.random.fold_in(k_noise, i), 3)
+        m = min(per, count - i)
+        which = jax.random.randint(kk1, (m,), 0, centers)
+        pts = c[which] + sigma * jax.random.normal(kk2, (m, dim), jnp.float32)
+        if normalize:
+            pts = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        chunks.append(pts)
+    return DenseSource(vectors=jnp.concatenate(chunks))
+
+
+def config2c(count=1_000_000):
+    """config2 on the clustered corpus (VERDICT r2 #5): the SIFT1M-like
+    recall/QPS curve for the graph path, vs the uniform-random pathology."""
+    metric = Metric.EUCLIDEAN
+    source = clustered_corpus(count, 128)
+    index = build_graph(source, metric, f"c2c_{count}")
+    sweep(index, source, metric, f"config2c_{count}x128_L2_clustered")
+
+
 def config3(count=1_200_000):
     metric = Metric.NORMALIZED_COSINE
     source = corpus(count, 100, unit=True)
@@ -257,4 +288,5 @@ def config4(count=10_000_000):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "config2"
     args = [int(a) for a in sys.argv[2:]]
-    {"config2": config2, "config3": config3, "config4": config4}[which](*args)
+    {"config2": config2, "config2c": config2c, "config3": config3,
+     "config4": config4}[which](*args)
