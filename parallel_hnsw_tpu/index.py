@@ -55,6 +55,7 @@ class Hnsw:
         self.build_parameters = build_parameters or BuildParams()
         self.verbose = verbose
         self._dense_cache = None
+        self._routing = None
 
     # -- construction --------------------------------------------------------
 
@@ -249,16 +250,55 @@ class Hnsw:
 
     # -- search --------------------------------------------------------------
 
+    def enable_routing(self, dr: Optional[int] = 64, seed: int = 0) -> None:
+        """Build a routing cache for accelerated traversal (see
+        :mod:`parallel_hnsw_tpu.routing`): hops score against narrow bf16
+        rows; :meth:`search` restores exact ranking with a full-precision
+        rerank.  Derived state — recompute after deserialization."""
+        from parallel_hnsw_tpu import routing as _routing
+
+        self._routing = _routing.build_routing(
+            self.compute_source, self.metric, dr=dr, seed=seed
+        )
+
+    def disable_routing(self) -> None:
+        self._routing = None
+
     def search(
         self,
         queries: jax.Array,
         sp: Optional[SearchParams] = None,
         exclude: Optional[jax.Array] = None,
         query_block: int = 0,
+        routed: Optional[bool] = None,
+        rerank_routed: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         """Batched multi-layer search. ``queries [Q, D]`` →
-        ``(vector_ids [Q, ef], dists [Q, ef])``."""
+        ``(vector_ids [Q, ef], dists [Q, ef])``.
+
+        ``routed`` selects traversal over the routing cache (default: use it
+        whenever :meth:`enable_routing` built one); ``rerank_routed=False``
+        skips the final exact rerank (for callers that rerank themselves,
+        e.g. the PQ pipeline) — routed distances are then approximate.
+        """
         sp = sp or self.build_parameters.optimization.search
+        if routed is None:
+            routed = self._routing is not None
+        if routed and self._routing is not None:
+            from parallel_hnsw_tpu import routing as _routing
+            from parallel_hnsw_tpu.graph import DenseSource
+
+            cache = self._routing
+            rq = _routing.route_queries(cache, queries, self.metric)
+            ids, dists = _search(
+                self.layers, DenseSource(vectors=cache.rows), cache.metric,
+                rq, sp, exclude, query_block,
+            )
+            if not rerank_routed:
+                return ids, dists
+            return _routing.exact_rerank(
+                self.compute_source, self.metric, queries, ids
+            )
         return _search(
             self.layers, self.compute_source, self.metric, queries, sp, exclude, query_block
         )

@@ -247,6 +247,8 @@ def link_layer_to_better_neighbors(
         new_neighbors, changed = _relink_layer_exact(
             stack[-1], source, metric, match_count, node_block
         )
+        if changed == 0:  # identity-preserving: callers detect no-ops by id()
+            return list(layers), 0, "exact"
         out = list(layers)
         out[layer_from_top] = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
         return out, changed, "exact"
@@ -261,6 +263,8 @@ def link_layer_to_better_neighbors(
         new_neighbors, changed = _relink_layer_exact(
             stack[-1], source, metric, match_count, node_block, fast=True
         )
+        if changed == 0:
+            return list(layers), 0, "fast"
         out = list(layers)
         out[layer_from_top] = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
         return out, changed, "fast"
@@ -271,6 +275,8 @@ def link_layer_to_better_neighbors(
         new_neighbors, changed = _relink_layer_blocked(
             padded_stack, source, metric, sp, match_count, node_block
         )
+        if changed == 0:
+            return list(layers), 0, "blocked"
         new_layer = Layer(nodes=stack[-1].nodes, neighbors=new_neighbors)
         out = list(layers)
         out[layer_from_top] = new_layer
@@ -278,13 +284,16 @@ def link_layer_to_better_neighbors(
     new_neighbors, changed = _relink_layer_jit(
         _flatten_stack(stack), source, metric, sp, len(stack), match_count
     )
+    changed = int(changed)
+    if changed == 0:
+        return list(layers), 0, "jit"
     # strip node-bucket padding rows back off
     new_layer = Layer(
         nodes=stack[-1].nodes, neighbors=new_neighbors[: stack[-1].node_count]
     )
     out = list(layers)
     out[layer_from_top] = new_layer
-    return out, int(changed), "jit"
+    return out, changed, "jit"
 
 
 def stochastic_recall_at(

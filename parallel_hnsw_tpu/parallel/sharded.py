@@ -39,6 +39,16 @@ def default_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def _build_threads(n_tasks: int) -> int:
+    """Worker-thread cap for overlapped shard work: one thread per shard up
+    to a host-core-scaled bound (threads mostly wait on device dispatch, so
+    a few per core; a 1-core CI host still exercises real concurrency
+    without thrashing the compiler)."""
+    import os
+
+    return max(1, min(n_tasks, 4 * (os.cpu_count() or 1)))
+
+
 # -- source stacking helpers (dense + PQ) ------------------------------------
 
 
@@ -137,22 +147,26 @@ class ShardedHnsw:
         seed: int = 0,
         improve: bool = True,
         verbose: bool = False,
+        parallel_build: bool = True,
     ) -> "ShardedHnsw":
         """Partition the corpus round-robin over shards and build one HNSW per
-        shard, each on its own device (async dispatch overlaps shard builds on
-        real multi-chip meshes).  Ragged shards are padded by repeating the
-        last row; padding rows get EMPTY global ids and are masked from
-        results."""
+        shard, each on its own device.  Shard builds run on concurrent host
+        threads (``parallel_build``): JAX dispatch is thread-safe and each
+        thread pins its own device via ``jax.default_device``, so per-shard
+        device programs overlap across the mesh instead of serializing at the
+        host's readback points.  Shard results are deterministic per
+        (seed + shard) regardless of scheduling.  Ragged shards are padded by
+        repeating the last row; padding rows get EMPTY global ids and are
+        masked from results."""
         bp = bp or BuildParams()
         n_shards = mesh.devices.size
         count = source.count
         per = -(-count // n_shards)  # ceil
 
         shard_gids = np.full((n_shards, per), EMPTY_ID, np.int32)
-        shard_sources: List[Source] = []
-        shard_hnsws: List[Hnsw] = []
         devices = list(mesh.devices.flat)
-        for s in range(n_shards):
+
+        def build_one(s: int) -> Tuple[Source, Hnsw]:
             ids = np.arange(s, count, n_shards)
             pad = per - len(ids)
             real = len(ids)
@@ -160,7 +174,6 @@ class ShardedHnsw:
                 ids = np.concatenate([ids, np.repeat(ids[-1:], pad)])
             shard_gids[s, :real] = ids[:real]
             sub_source = _take_rows_source(source, ids)
-            shard_sources.append(sub_source)
             # local vector ids are 0..per (padding rows are duplicates of the
             # last real vector: harmless graph members, masked at query time)
             local_ids = jnp.arange(real, dtype=ID_DTYPE)
@@ -169,7 +182,22 @@ class ShardedHnsw:
                     sub_source, local_ids, bp, metric, seed=seed + s,
                     improve=improve, verbose=verbose,
                 )
-            shard_hnsws.append(h)
+            return sub_source, h
+
+        if parallel_build and n_shards > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # warm-one-then-fan-out: shard 0 builds alone so every jitted
+            # build program compiles exactly once (shards share shapes, so
+            # the rest hit the in-process executable cache), then the
+            # remaining shards overlap on worker threads.
+            results = [build_one(0)]
+            with ThreadPoolExecutor(max_workers=_build_threads(n_shards - 1)) as ex:
+                results += list(ex.map(build_one, range(1, n_shards)))
+        else:
+            results = [build_one(s) for s in range(n_shards)]
+        shard_sources: List[Source] = [r[0] for r in results]
+        shard_hnsws: List[Hnsw] = [r[1] for r in results]
 
         layer_counts = {h.layer_count for h in shard_hnsws}
         if len(layer_counts) != 1:
@@ -303,7 +331,14 @@ class ShardedHnsw:
         source = _take_one_shard_source(self.source_stacked, s)
         return Hnsw(layers, source, self.metric, self.build_parameters)
 
-    def _restack_from_hnsws(self, shard_hnsws: List["Hnsw"]) -> None:
+    def _restack_from_hnsws(
+        self, shard_hnsws: List["Hnsw"], keep_levels: Optional[set] = None
+    ) -> None:
+        """Re-stack per-shard graphs into mesh-sharded slabs.  ``keep_levels``
+        (level indices whose per-shard arrays are unchanged) reuse the
+        existing device-resident stacked arrays instead of round-tripping
+        through host NumPy — device_put of an already-placed array is a
+        no-op, so unchanged levels never leave the devices."""
         n_shards = len(shard_hnsws)
         max_lc = max(h.layer_count for h in shard_hnsws)
         for h in shard_hnsws:
@@ -311,6 +346,13 @@ class ShardedHnsw:
                 h.layers.insert(0, h.layers[0])
         stacked: List[Layer] = []
         for lvl in range(max_lc):
+            if (
+                keep_levels is not None
+                and lvl in keep_levels
+                and lvl < len(self.layers_stacked)
+            ):
+                stacked.append(self.layers_stacked[lvl])
+                continue
             n_max = max(h.layers[lvl].node_count for h in shard_hnsws)
             m_max = max(h.layers[lvl].neighborhood_size for h in shard_hnsws)
             nodes = np.full((n_shards, n_max), EMPTY_ID, np.int32)
@@ -323,20 +365,57 @@ class ShardedHnsw:
         self.layers_stacked = stacked
         self.place()
 
-    def improve_index(self, bp: Optional[BuildParams] = None, progress=None) -> float:
+    def improve_index(
+        self,
+        bp: Optional[BuildParams] = None,
+        progress=None,
+        parallel: bool = True,
+    ) -> float:
         """Per-shard improve_index (shards are independent graphs; the
-        reference's improve loop applies shard-locally), restacked after.
-        Returns the minimum shard recall."""
+        reference's improve loop applies shard-locally).  Shard improves run
+        on concurrent host threads, one per device (``parallel``); only
+        levels some shard actually changed are re-stacked — relinks that
+        change nothing preserve array identity (see
+        link_layer_to_better_neighbors), so a converged index costs zero
+        host round-trips here.  Returns the minimum shard recall."""
         bp = bp or self.build_parameters
-        recalls = []
-        hnsws = []
         devices = list(self.mesh.devices.flat)
-        for s in range(self.n_shards):
-            h = self._shard_hnsw(s)
+        hnsws = [self._shard_hnsw(s) for s in range(self.n_shards)]
+        before = [
+            (h.layer_count, [id(l.neighbors) for l in h.layers]) for h in hnsws
+        ]
+
+        def improve_one(s: int) -> float:
             with jax.default_device(devices[s]):
-                recalls.append(h.improve_index(bp, progress=progress))
-            hnsws.append(h)
-        self._restack_from_hnsws(hnsws)
+                return hnsws[s].improve_index(bp, progress=progress)
+
+        if parallel and self.n_shards > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # shard 0 first to warm the (shape-shared) improve programs,
+            # then overlap the rest
+            recalls = [improve_one(0)]
+            with ThreadPoolExecutor(
+                max_workers=_build_threads(self.n_shards - 1)
+            ) as ex:
+                recalls += list(ex.map(improve_one, range(1, self.n_shards)))
+        else:
+            recalls = [improve_one(s) for s in range(self.n_shards)]
+
+        counts_changed = any(h.layer_count != b[0] for h, b in zip(hnsws, before))
+        if counts_changed:
+            # promotions skew ladders / extend lower levels — full restack
+            self._restack_from_hnsws(hnsws)
+        else:
+            changed_levels = {
+                lvl
+                for h, b in zip(hnsws, before)
+                for lvl in range(h.layer_count)
+                if id(h.layers[lvl].neighbors) != b[1][lvl]
+            }
+            if changed_levels:
+                keep = set(range(len(self.layers_stacked))) - changed_levels
+                self._restack_from_hnsws(hnsws, keep_levels=keep)
         return float(min(recalls))
 
     def stochastic_recall(self, op: Optional[OptimizationParams] = None, seed: int = 42) -> float:

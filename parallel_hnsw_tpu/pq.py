@@ -27,11 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from parallel_hnsw_tpu.constants import EMPTY_ID, ID_DTYPE
-from parallel_hnsw_tpu.graph import DenseSource, PqSource, reconstruct, source_get
+from parallel_hnsw_tpu.graph import DenseSource, PqSource, reconstruct
 from parallel_hnsw_tpu.index import Hnsw
 from parallel_hnsw_tpu.ops.distance import Metric, pairwise_distance
 from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
-from parallel_hnsw_tpu.ops.queues import sort_queue
 from parallel_hnsw_tpu.params import (
     BuildParams,
     OptimizationParams,
@@ -323,32 +322,29 @@ class QuantizedHnsw:
             query_block = max(64, min(8192, (2 << 30) // (sp.beam_width * 48 * eff * 4)))
         qcodes = self.quantizer.quantize(queries, exact=exact_quantize)
         qrecon = self.quantizer.reconstruct(qcodes)
-        ids, dists = self.hnsw.search(qrecon, sp, query_block=query_block)
+        # when this method reranks against the full vectors anyway, a routed
+        # code-graph traversal can skip its own intermediate rerank
+        ids, dists = self.hnsw.search(
+            qrecon, sp, query_block=query_block, rerank_routed=not rerank
+        )
         if not rerank:
             return ids, dists
         return self._rerank(queries, ids)
 
+    def enable_routing(self, dr: Optional[int] = 64, seed: int = 0) -> None:
+        """Routing-accelerated code-graph traversal (see
+        :mod:`parallel_hnsw_tpu.routing`): hop scoring moves from per-hop
+        code reconstruction to narrow bf16 routing rows."""
+        self.hnsw.enable_routing(dr=dr, seed=seed)
+
     def _rerank(self, queries, ids, block_budget: int = 1 << 30):
         """Exact rerank of every returned candidate with the full-precision
-        vectors, resorted by (distance, id) (reference: src/pq.rs:354-363).
-        Blocked over queries so the gathered [Q, ef, D] stays within budget."""
-        from parallel_hnsw_tpu.ops.distance import batched_distance
+        vectors, resorted by (distance, id) (reference: src/pq.rs:354-363)."""
+        from parallel_hnsw_tpu.routing import exact_rerank
 
-        ef = ids.shape[1]
-        dim = self.full_source.dim
-        qb = max(64, block_budget // max(1, ef * dim * 4))
-        out_i, out_d = [], []
-        for qs in range(0, queries.shape[0], qb):
-            q = queries[qs : qs + qb]
-            block_ids = ids[qs : qs + qb]
-            safe = jnp.clip(block_ids, 0, self.full_source.count - 1)
-            cand = source_get(self.full_source, safe)
-            d = batched_distance(q, cand, self.hnsw.metric)
-            d = jnp.where(block_ids == EMPTY_ID, jnp.inf, d)
-            r_ids, r_d = sort_queue(block_ids, d)
-            out_i.append(r_ids)
-            out_d.append(r_d)
-        return jnp.concatenate(out_i), jnp.concatenate(out_d)
+        return exact_rerank(
+            self.full_source, self.hnsw.metric, queries, ids, block_budget
+        )
 
     def search_exact(
         self,

@@ -1,0 +1,155 @@
+"""Routing vectors: compact hop-scoring representation for graph traversal.
+
+The reference declares a ``PartialDistance`` trait for cheap partial scoring
+during traversal but never implements it (/root/reference/src/pq.rs:24-27).
+A literal ADC realization (per-candidate LUT lookups) is the wrong shape for
+TPU: the hop would issue one gather per (candidate, subspace) LUT element,
+and gathers on this part are issue-rate-bound (~22ns/row regardless of row
+width — BENCH_NOTES "Gather micro-study"), while a full-K LUT per query block
+is storage-infeasible at the reference's 65,535-centroid codebooks
+([Q, nsub, 65536] floats).
+
+The TPU-native equivalent keeps the hop at ONE gather per candidate and
+shrinks the bytes under that gather instead: project the corpus once on the
+MXU to a narrow routing matrix ``[N, dr]`` in bfloat16 (a random orthonormal
+Johnson-Lindenstrauss projection preserves distance *order* well enough to
+steer traversal), score every hop against routing rows (8-48x less gather
+bandwidth than full-width f32 rows, and an equally narrower hop matmul), and
+restore exact ranking with one full-precision rerank of the final candidate
+queue — the same oversample-then-rerank contract as the fast flat scans.
+
+``dr=None`` skips the projection and just casts to bf16 — halved traffic with
+near-exact routing, for corpora whose dimension is already small.
+
+Measured guidance (BENCH_NOTES "Routing study", 1M x 128 clustered L2): at
+narrow dimensions the hop gather is ISSUE-bound, so shrinking rows buys no
+QPS and the projection only costs recall — use ``dr=None`` (recall-neutral)
+or no routing below ~512-d.  Projection pays off only where the gather is
+bandwidth-bound (wide rows) AND the corpus is spectrally concentrated (low
+effective rank), e.g. transformer embeddings at 1536-d; on full-rank noise
+no reduced representation can rank-order neighbors (the same limit PQ hits
+on uniform random corpora).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from parallel_hnsw_tpu.constants import EMPTY_ID
+from parallel_hnsw_tpu.graph import Source, gather_features, source_effective_width
+from parallel_hnsw_tpu.ops.distance import Metric, batched_distance
+from parallel_hnsw_tpu.ops.queues import sort_queue
+
+
+class RoutingCache(NamedTuple):
+    """Derived (recomputable) traversal acceleration state."""
+
+    projection: Optional[jax.Array]  # [D, dr] f32 orthonormal, or None
+    rows: jax.Array  # [N, dr] bf16 routing rows
+    metric: Metric  # metric evaluated in routed space
+
+
+def route_metric(metric: Metric) -> Metric:
+    """Metric evaluated during routed traversal.
+
+    EUCLIDEAN drops the final sqrt: squared distances are order-equivalent
+    and cheaper.  Every other metric keeps its form (cosine-family rows are
+    re-normalized after projection so dots stay cosines).
+    """
+    metric = Metric(metric)
+    if metric is Metric.EUCLIDEAN:
+        return Metric.SQUARED_EUCLIDEAN
+    return metric
+
+
+def random_orthonormal(dim: int, dr: int, seed: int = 0) -> jax.Array:
+    """Random orthonormal ``[dim, dr]`` projection (QR of a gaussian)."""
+    assert dr <= dim, f"routing dim {dr} exceeds source dim {dim}"
+    g = jax.random.normal(jax.random.PRNGKey(seed), (dim, dr), jnp.float32)
+    q, _ = jnp.linalg.qr(g)
+    return q
+
+
+def _transform(
+    feats: jax.Array, projection: Optional[jax.Array], metric: Metric
+) -> jax.Array:
+    if projection is not None:
+        feats = jnp.asarray(feats, jnp.float32) @ projection
+    if Metric(metric) in (Metric.COSINE, Metric.NORMALIZED_COSINE):
+        norm = jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        feats = feats / jnp.maximum(norm, 1e-12)
+    return feats
+
+
+def build_routing(
+    source: Source,
+    metric: Metric,
+    dr: Optional[int] = 64,
+    seed: int = 0,
+    block: int = 131072,
+) -> RoutingCache:
+    """Project (or just bf16-cast) a source into a routing cache, streamed in
+    row blocks so PQ sources decode transiently."""
+    metric = Metric(metric)
+    dim = source.dim
+    projection = None
+    if dr is not None and dr < dim:
+        projection = random_orthonormal(dim, dr, seed)
+    ids = jnp.arange(source.count, dtype=jnp.int32)
+    outs = []
+    for start in range(0, source.count, block):
+        feats = gather_features(source, ids[start : start + block], block=16384)
+        outs.append(_transform(feats, projection, metric).astype(jnp.bfloat16))
+    return RoutingCache(
+        projection=projection,
+        rows=jnp.concatenate(outs) if len(outs) > 1 else outs[0],
+        metric=route_metric(metric),
+    )
+
+
+def route_queries(cache: RoutingCache, queries: jax.Array, metric: Metric) -> jax.Array:
+    """Apply the cache's transform to queries (kept f32 for stable ordering)."""
+    return _transform(queries, cache.projection, metric)
+
+
+def exact_rerank(
+    source: Source,
+    metric: Metric,
+    queries: jax.Array,  # [Q, D] original (unprojected) queries
+    ids: jax.Array,  # [Q, ef] vector ids, EMPTY-padded
+    block_budget: int = 1 << 30,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full-precision rescore + (dist, id) resort of candidate queues.
+
+    Shared by routed graph search and the PQ pipeline (reference rerank
+    contract: src/pq.rs:354-363).  Blocked over queries so the gathered
+    ``[qb, ef, width]`` block honors the lane-padded memory budget.
+    """
+    ef = ids.shape[1]
+    width = source_effective_width(source)
+    qb = max(16, block_budget // max(1, ef * width * 4))
+    out_i, out_d = [], []
+    for qs in range(0, queries.shape[0], qb):
+        q = queries[qs : qs + qb]
+        block_ids = ids[qs : qs + qb]
+        r_ids, r_d = _rerank_block_jit(source, Metric(metric), q, block_ids)
+        out_i.append(r_ids)
+        out_d.append(r_d)
+    if len(out_i) == 1:
+        return out_i[0], out_d[0]
+    return jnp.concatenate(out_i), jnp.concatenate(out_d)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _rerank_block_jit(source, metric: Metric, queries, ids):
+    from parallel_hnsw_tpu.graph import source_get
+
+    safe = jnp.clip(ids, 0, source.count - 1)
+    cand = source_get(source, safe)
+    d = batched_distance(queries, cand, metric)
+    d = jnp.where(ids == EMPTY_ID, jnp.inf, d)
+    return sort_queue(ids, d)

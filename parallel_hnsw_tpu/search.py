@@ -276,7 +276,7 @@ def _host_layer_search(
                 sub = jnp.concatenate([sub, pad_block])
             return sub
 
-        act_queries = take_pad(act_queries if act_queries.shape[0] == n_act else act_queries[:n_act], 0.0)
+        act_queries = take_pad(act_queries[:n_act], 0.0)
         ids = take_pad(state.ids[:n_act], EMPTY_ID)
         dists = take_pad(state.dists[:n_act], EMPTY_DIST)
         expanded = take_pad(state.expanded[:n_act], 0)

@@ -44,3 +44,38 @@ t0=time.time()
 o = q.search_exact(source.vectors[:total], k=10, rerank=True)
 _ = int(np.asarray(o[0][-1, 0]))
 print(f"flat-scan QPS = {total/(time.time()-t0):.0f}", flush=True)
+
+# ---- code-graph hop study (VERDICT r2 #3): exact reconstruct-per-hop vs
+# routed bf16/projected rows.  recall@1 = self-queries (the reference's
+# gate metric, src/pq.rs:956-978); recall@10 vs exact GT on 2048 queries.
+import json
+from parallel_hnsw_tpu.analysis import brute_force_knn
+
+nq = 2048
+queries = source.vectors[:nq]
+gt_ids, _ = brute_force_knn(source, queries, M, 10, query_block=1024)
+gt = np.asarray(gt_ids)
+
+
+def graph_point(label):
+    ids, _ = q.search(queries, rerank=True, exact_quantize=True)
+    got = np.asarray(ids[:, :10])
+    r1 = float((got[:, 0] == np.arange(nq)).mean())
+    r10 = float(np.mean([len(np.intersect1d(got[i], gt[i])) for i in range(nq)]) / 10.0)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = q.search(queries, rerank=True, exact_quantize=True)
+        _ = int(np.asarray(out[0][-1, 0]))
+        best = min(best, time.time() - t0)
+    print(json.dumps({"mode": label, "recall_at_1": round(r1, 4),
+                      "recall_at_10": round(r10, 4), "qps": round(nq / best, 1)}),
+          flush=True)
+
+
+graph_point("code-graph exact-hop")
+for dr in (None, 192, 128):
+    t0 = time.time()
+    q.enable_routing(dr=dr, seed=0)
+    print(f"# enable_routing(dr={dr}): {time.time()-t0:.1f}s", flush=True)
+    graph_point(f"code-graph routed-dr{dr}")
