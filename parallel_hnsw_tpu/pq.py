@@ -44,20 +44,63 @@ from parallel_hnsw_tpu.progress import ProgressMonitor, ensure_monitor
 # Centroid selection
 
 
+def _hash_sort_dedup(subs: jax.Array, key: jax.Array):
+    """Sort rows by a gaussian-projection hash; mark adjacent duplicates.
+
+    ``np.unique(axis=0)`` (a void-view lexsort) costs ~24 minutes on a
+    single host core at the 65,535-centroid config's 1.5M sub-vectors;
+    sorting one random projection on the VPU and dropping adjacent equal
+    rows is milliseconds.  Identical rows hash identically so they sort
+    adjacent; a hash tie between *different* rows (probability ~0 for a
+    gaussian projection over f32) would at worst retain a duplicate, which
+    the reference's sampling tolerates anyway.  Returns ``(sorted_rows,
+    dup_mask)`` with ``dup_mask[i]`` true iff row i equals row i-1."""
+    h = subs @ jax.random.normal(key, (subs.shape[1],), jnp.float32)
+    order = jnp.argsort(h)
+    s = jnp.take(subs, order, axis=0)
+    hs = jnp.take(h, order)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            (hs[1:] == hs[:-1]) & jnp.all(s[1:] == s[:-1], axis=-1),
+        ]
+    )
+    return s, dup
+
+
+def unique_rows_device(subs: jax.Array, seed: int = 0) -> np.ndarray:
+    """Row dedup on device (see ``_hash_sort_dedup``); rows return sorted
+    by their hash, which is deterministic for a fixed seed."""
+    s, dup = _hash_sort_dedup(jnp.asarray(subs), jax.random.PRNGKey(seed))
+    return np.asarray(s)[~np.asarray(dup)]
+
+
 def random_centroids(
     vectors: jax.Array, n_centroids: int, dsub: int, seed: int = 0
 ) -> np.ndarray:
     """Sample vectors, split into sub-vectors, dedup, shuffle, truncate
-    (reference: random_centroids, src/pq.rs:261-285).  Returns ``[K, dsub]``."""
-    rng = np.random.default_rng(seed)
-    vecs = np.asarray(vectors)
-    count, dim = vecs.shape
+    (reference: random_centroids, src/pq.rs:261-285).  Returns ``[K, dsub]``.
+
+    Everything runs on device: the host path (read back the corpus,
+    ``np.unique(axis=0)``, shuffle) cost ~25 minutes at the 65,535-centroid
+    config on this 1-core host + tunnel; here only the final ``[K, dsub]``
+    slab is read back.  Dedup is ``_hash_sort_dedup``."""
+    vectors = jnp.asarray(vectors)
+    count, dim = vectors.shape
     assert dim % dsub == 0
+    rng = np.random.default_rng(seed)
     sel = rng.permutation(count)[: min(n_centroids, count)]
-    subs = vecs[sel].reshape(-1, dsub)
-    subs = np.unique(subs, axis=0)
-    rng.shuffle(subs)
-    return subs[:n_centroids].astype(np.float32)
+    subs = jnp.take(vectors, jnp.asarray(sel, jnp.int32), axis=0).reshape(-1, dsub)
+    key = jax.random.PRNGKey(seed)
+    s, dup = _hash_sort_dedup(subs, key)
+    # random shuffle with duplicates sunk to the tail, then truncate: the
+    # first min(K, n_unique) rows are unique and uniformly ordered
+    rnd = jax.random.uniform(jax.random.fold_in(key, 1), (s.shape[0],))
+    perm = jnp.argsort(dup.astype(jnp.float32) + rnd)
+    n_unique = int(jnp.sum(~dup))
+    k = min(n_centroids, n_unique)
+    out = jnp.take(s, perm[:k], axis=0)
+    return np.asarray(out, np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
@@ -118,12 +161,23 @@ class HnswQuantizer:
     def dsub(self) -> int:
         return int(self.centroids.shape[1])
 
-    def quantize(self, vecs: jax.Array, exact: bool = False) -> jax.Array:
+    def quantize(
+        self, vecs: jax.Array, exact: bool = False, fast: bool = False
+    ) -> jax.Array:
         """``[B, SIZE] -> [B, nsub] int32`` codes.  Graph-search per sub-vector
-        like the reference (src/pq.rs:61-71), or exact blocked MXU argmin."""
+        like the reference (src/pq.rs:61-71), exact blocked MXU argmin
+        (``exact``), or the fused binned-scan argmin (``fast``) — the
+        bulk-quantization path for huge corpora: the exact scan materializes
+        a ``[block, K]`` distance matrix per block (HBM-write-bound, ~2h for
+        config4's 240M sub-vectors at K=65,535), while the binned kernel
+        reduces each tile to per-congruence-class minima in VMEM and an
+        exact rerank of the top candidates restores the true argmin except
+        for vanishing double-collision cases."""
         b = vecs.shape[0]
         subs = vecs.reshape(b * self.nsub, self.dsub)
-        if exact:
+        if fast:
+            codes = quantize_binned(subs, self.centroids, self.hnsw.metric)
+        elif exact:
             from parallel_hnsw_tpu.analysis import blocked_topk_pairwise
 
             ids, _ = blocked_topk_pairwise(
@@ -139,6 +193,40 @@ class HnswQuantizer:
     def reconstruct(self, codes: jax.Array) -> jax.Array:
         """``[B, nsub] -> [B, SIZE]`` (reference: src/pq.rs:73-81)."""
         return reconstruct(self.centroids, codes)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "kk"))
+def _quantize_binned_block(subs, centroids, metric: Metric, kk: int):
+    from parallel_hnsw_tpu.ops.distance import batched_distance
+    from parallel_hnsw_tpu.ops.pallas_scan import binned_scan
+
+    bd, bc = binned_scan(subs, centroids, metric, tile_c=4096, exact=False)
+    _, pos = jax.lax.approx_min_k(bd, kk)
+    cand = jnp.take_along_axis(bc, pos, axis=-1)  # [B, kk] centroid ids
+    cand_feats = jnp.take(centroids, cand, axis=0)  # [B, kk, dsub]
+    d = batched_distance(subs, cand_feats, metric)  # exact rerank
+    best = jnp.argmin(d, axis=-1)
+    return jnp.take_along_axis(cand, best[:, None], axis=-1)[:, 0]
+
+
+def quantize_binned(
+    subs: jax.Array,
+    centroids: jax.Array,
+    metric: Metric,
+    block: int = 1 << 18,
+    kk: int = 8,
+) -> jax.Array:
+    """Near-exact sub-vector argmin via the fused binned-scan kernel + exact
+    rerank of the per-class survivors (see HnswQuantizer.quantize)."""
+    kk = min(kk, centroids.shape[0])
+    outs = []
+    for start in range(0, subs.shape[0], block):
+        outs.append(
+            _quantize_binned_block(
+                subs[start : start + block], centroids, Metric(metric), kk
+            )
+        )
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +324,7 @@ class QuantizedHnsw:
         seed: int = 0,
         use_kmeans: bool = False,
         exact_quantize: bool = False,
+        fast_quantize: bool = False,
         chunk_size: int = 100_000,
         code_dtype=None,
         progress: Optional[ProgressMonitor] = None,
@@ -279,7 +368,11 @@ class QuantizedHnsw:
             for start in range(0, n, chunk_size):
                 monitor.alive()
                 chunk = full_source.vectors[start : start + chunk_size]
-                codes.append(quantizer.quantize(chunk, exact=exact_quantize))
+                codes.append(
+                    quantizer.quantize(
+                        chunk, exact=exact_quantize, fast=fast_quantize
+                    )
+                )
         if code_dtype is None:
             # reference parity: u16 codes when the codebook fits (src/pq.rs:20)
             code_dtype = jnp.uint16 if len(centroids) <= 65536 else jnp.int32

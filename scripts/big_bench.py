@@ -253,7 +253,10 @@ def config4(count=10_000_000):
     codes = []
     chunk = 500_000
     for start in range(0, count, chunk):
-        codes.append(quantizer.quantize(source.vectors[start:start+chunk], exact=True))
+        # fused binned-scan argmin + exact rerank: near-exact codes without
+        # materializing [block, 65535] distance matrices (the exact path's
+        # ~2h HBM-write bill at 240M sub-vectors)
+        codes.append(quantizer.quantize(source.vectors[start:start+chunk], fast=True))
     codes = jnp.concatenate(codes).astype(jnp.uint16)
     print(f"# quantize {count}: {time.time()-t0:.0f}s", flush=True)
 

@@ -202,3 +202,50 @@ def test_flat_scan_rerank_recall_matches_exact_scan(small_pq):
     # exact scan over codes + rerank has the same survivors at equal width
     r_exact = recall(q.search_exact(queries, k=k, rerank=True, oversample=1)[0])
     assert r_fast >= r_exact - 1e-9
+
+
+def test_unique_rows_device_matches_np_unique():
+    from parallel_hnsw_tpu.pq import unique_rows_device
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=(200, 4)).astype(np.float32)
+    dup = np.concatenate([base, base[:77], base[13:14]])  # many exact dups
+    rng.shuffle(dup)
+    got = unique_rows_device(jnp.asarray(dup), seed=1)
+    want = np.unique(dup, axis=0)
+    got_sorted = got[np.lexsort(got.T[::-1])]
+    np.testing.assert_array_equal(got_sorted, want)
+
+
+def test_quantize_binned_matches_exact():
+    from parallel_hnsw_tpu.pq import quantize_binned
+    from parallel_hnsw_tpu.analysis import blocked_topk_pairwise
+
+    rng = np.random.default_rng(9)
+    subs = jnp.asarray(rng.normal(size=(3000, 4)).astype(np.float32))
+    cents = jnp.asarray(rng.normal(size=(1500, 4)).astype(np.float32))
+    fast = np.asarray(quantize_binned(subs, cents, Metric.SQUARED_EUCLIDEAN, block=1024))
+    ids, _ = blocked_topk_pairwise(subs, cents, Metric.SQUARED_EUCLIDEAN, 1)
+    exact = np.asarray(ids[:, 0])
+    agree = (fast == exact).mean()
+    assert agree >= 0.99, agree  # double-collision misses only
+
+
+def test_quantizer_fast_path_end_to_end():
+    """HnswQuantizer.quantize(fast=True) codes reconstruct as well as exact."""
+    from parallel_hnsw_tpu.graph import reconstruct as _recon
+    from parallel_hnsw_tpu.pq import HnswQuantizer
+    from parallel_hnsw_tpu.index import Hnsw
+    from parallel_hnsw_tpu.graph import DenseSource
+
+    src = random_unit_corpus(300, 16, seed=2)
+    cents = random_centroids(src.vectors, 128, 4, seed=0)
+    chnsw = Hnsw.generate(
+        DenseSource(vectors=jnp.asarray(cents)), None, SMALL_BP,
+        Metric.SQUARED_EUCLIDEAN, seed=0,
+    )
+    quant = HnswQuantizer(chnsw, 4, PQP)
+    c_exact = quant.quantize(src.vectors, exact=True)
+    c_fast = quant.quantize(src.vectors, fast=True)
+    agree = (np.asarray(c_exact) == np.asarray(c_fast)).mean()
+    assert agree >= 0.99, agree
