@@ -1,0 +1,142 @@
+"""Round-3 MFU study of the fused binned-scan kernel (ops/pallas_scan).
+
+Measures the kernel in isolation and through ``fast_flat_knn`` at 262k and
+1M x 128, cosine, warm-cache, host-readback timing — the VERDICT-r2 #6
+"push flat-scan MFU past 15%" evidence run.  Prints one JSON line per point.
+
+Usage: PYTHONPATH=. python scripts/scan_study_r3.py [q]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from parallel_hnsw_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallel_hnsw_tpu.analysis import brute_force_knn, fast_flat_knn
+from parallel_hnsw_tpu.graph import DenseSource
+from parallel_hnsw_tpu.ops.distance import Metric
+from parallel_hnsw_tpu.ops.pallas_scan import binned_scan
+
+M = Metric.COSINE
+
+
+def timeit(fn, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn()
+        _ = float(np.asarray(out[0]).ravel()[-1])  # host readback sync
+        best = min(best, time.time() - t0)
+    return best
+
+
+def sweep(q=2048, n=1_048_576, d=128):
+    """Tile-shape sweep of the raw kernel: grid-step overhead vs VMEM
+    pressure is the open MFU question; measure instead of guessing."""
+    from parallel_hnsw_tpu.ops.pallas_scan import clamp_tile_c, pallas_binned_scan
+
+    print(jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = corpus[:q] + 0.05 * rng.standard_normal((q, d)).astype(np.float32)
+    cj = jnp.asarray(corpus, jnp.bfloat16)
+    qj = jnp.asarray(queries, jnp.bfloat16)
+    flops = 2.0 * q * n * d
+    for tile_q in (128, 256, 512):
+        for tile_c in (2048, 4096, 8192, 16384):
+            if clamp_tile_c(tile_c, d, 2) != tile_c:
+                continue
+            try:
+                fn = lambda: pallas_binned_scan(
+                    qj, cj, M, tile_q=tile_q, tile_c=tile_c
+                )
+                fn()  # compile
+                dt = timeit(fn)
+            except Exception as e:  # VMEM blowout → record and move on
+                print(f"# tq={tile_q} tc={tile_c}: {type(e).__name__}", flush=True)
+                continue
+            print(
+                json.dumps(
+                    {
+                        "point": f"kernel tq={tile_q} tc={tile_c}",
+                        "ms": round(dt * 1e3, 2),
+                        "qps": round(q / dt),
+                        "tf_s": round(flops / dt / 1e12, 1),
+                        "mfu_bf16_pct": round(100 * flops / dt / 197e12, 1),
+                    }
+                ),
+                flush=True,
+            )
+
+
+def main(q=2048):
+    print(jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    for n in (262_144, 1_048_576):
+        d = 128
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = corpus[rng.permutation(n)[:q]] + 0.05 * rng.standard_normal(
+            (q, d)
+        ).astype(np.float32)
+        src = DenseSource(vectors=jnp.asarray(corpus))
+        qj = jnp.asarray(queries)
+        gt_ids, _ = brute_force_knn(src, qj, M, 10, query_block=1024)
+        gt = np.asarray(gt_ids)
+        print(f"# gt done n={n}", flush=True)
+
+        # kernel alone (bf16 fast mode, as the engines call it)
+        cj = src.vectors
+        binned_scan(qj, cj, M, tile_c=4096)  # compile
+        dt = timeit(lambda: binned_scan(qj, cj, M, tile_c=4096))
+        flops = 2.0 * q * n * d
+        print(
+            json.dumps(
+                {
+                    "point": f"kernel {n}x{d} q={q}",
+                    "ms": round(dt * 1e3, 2),
+                    "qps": round(q / dt),
+                    "tf_s": round(flops / dt / 1e12, 1),
+                    "mfu_bf16_pct": round(100 * flops / dt / 197e12, 1),
+                }
+            ),
+            flush=True,
+        )
+
+        # end-to-end engine (kernel + approx_min_k + exact rerank)
+        for ovs in (4, 8):
+            fast_flat_knn(src, qj, M, 10, oversample=ovs)  # compile
+            dt = timeit(lambda: fast_flat_knn(src, qj, M, 10, oversample=ovs))
+            ids, _ = fast_flat_knn(src, qj, M, 10, oversample=ovs)
+            got = np.asarray(ids)[:, :10]
+            rec = float(
+                np.mean([len(np.intersect1d(got[i], gt[i])) for i in range(q)])
+                / 10.0
+            )
+            print(
+                json.dumps(
+                    {
+                        "point": f"fast_flat_knn {n}x{d} ovs={ovs}",
+                        "ms": round(dt * 1e3, 2),
+                        "qps": round(q / dt),
+                        "recall_at_10": round(rec, 4),
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep(*(int(a) for a in sys.argv[2:]))
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 2048)
