@@ -51,31 +51,47 @@ def sweep(q=2048, n=1_048_576, d=128):
     cj = jnp.asarray(corpus, jnp.bfloat16)
     qj = jnp.asarray(queries, jnp.bfloat16)
     flops = 2.0 * q * n * d
+    from parallel_hnsw_tpu.ops.pallas_scan import pallas_folded_scan
+
+    def run(label, fn):
+        try:
+            fn()  # compile
+            dt = timeit(fn)
+        except Exception as e:  # VMEM blowout → record and move on
+            print(f"# {label}: {type(e).__name__}", flush=True)
+            return
+        print(
+            json.dumps(
+                {
+                    "point": label,
+                    "ms": round(dt * 1e3, 2),
+                    "qps": round(q / dt),
+                    "tf_s": round(flops / dt / 1e12, 1),
+                    "mfu_bf16_pct": round(100 * flops / dt / 197e12, 1),
+                }
+            ),
+            flush=True,
+        )
+
     for tile_q in (128, 256, 512):
         for tile_c in (2048, 4096, 8192, 16384):
             if clamp_tile_c(tile_c, d, 2) != tile_c:
                 continue
-            try:
-                fn = lambda: pallas_binned_scan(
-                    qj, cj, M, tile_q=tile_q, tile_c=tile_c
-                )
-                fn()  # compile
-                dt = timeit(fn)
-            except Exception as e:  # VMEM blowout → record and move on
-                print(f"# tq={tile_q} tc={tile_c}: {type(e).__name__}", flush=True)
-                continue
-            print(
-                json.dumps(
-                    {
-                        "point": f"kernel tq={tile_q} tc={tile_c}",
-                        "ms": round(dt * 1e3, 2),
-                        "qps": round(q / dt),
-                        "tf_s": round(flops / dt / 1e12, 1),
-                        "mfu_bf16_pct": round(100 * flops / dt / 197e12, 1),
-                    }
+            run(
+                f"kernel tq={tile_q} tc={tile_c}",
+                lambda tq=tile_q, tc=tile_c: pallas_binned_scan(
+                    qj, cj, M, tile_q=tq, tile_c=tc
                 ),
-                flush=True,
             )
+    for tile_q in (256, 512):
+        for tile_c in (2048, 4096, 8192):
+            for n_slots in (16, 32):
+                run(
+                    f"folded tq={tile_q} tc={tile_c} ns={n_slots}",
+                    lambda tq=tile_q, tc=tile_c, ns=n_slots: pallas_folded_scan(
+                        qj, cj, M, tile_q=tq, tile_c=tc, n_slots=ns
+                    ),
+                )
 
 
 def main(q=2048):

@@ -63,6 +63,50 @@ def test_pallas_interpret_matches_xla():
         np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
 
 
+def test_folded_scan_interpret_matches_xla_fold():
+    """The accumulating kernel's slot minima == the XLA fold over per-tile
+    bins, including the non-divisible tail (padding slots stay +inf)."""
+    from parallel_hnsw_tpu.ops.pallas_scan import (
+        pallas_folded_scan,
+        xla_folded_scan,
+    )
+
+    x = jnp.asarray(_unit(16, 8))
+    y = jnp.asarray(_unit(1500, 8))  # 6 tiles of 256 -> n_slots=4 needs pad
+    for metric in (Metric.COSINE, Metric.EUCLIDEAN, Metric.DOT):
+        ref_d, ref_c = xla_folded_scan(
+            x, y, metric, tile_c=256, n_slots=4, exact=True
+        )
+        got_d, got_c = pallas_folded_scan(
+            x, y, metric, tile_q=8, tile_c=256, n_slots=4, interpret=True,
+            exact=True,
+        )
+        rd, gd = np.asarray(ref_d), np.asarray(got_d)
+        np.testing.assert_allclose(gd, rd, atol=1e-5)
+        fin = np.isfinite(rd)
+        np.testing.assert_array_equal(
+            np.asarray(got_c)[fin], np.asarray(ref_c)[fin]
+        )
+
+
+def test_folded_scan_true_neighbors_survive():
+    """Every query's true nearest neighbor appears in its folded slab (it is
+    the min of whatever slot its column folds into)."""
+    from parallel_hnsw_tpu.ops.pallas_scan import pallas_folded_scan
+
+    x = jnp.asarray(_unit(24, 16))
+    y = jnp.asarray(_unit(3000, 16))
+    gt = np.asarray(
+        jnp.argmin(pairwise_distance(x, y, Metric.EUCLIDEAN), axis=-1)
+    )
+    _, cols = pallas_folded_scan(
+        x, y, Metric.EUCLIDEAN, tile_q=8, tile_c=256, n_slots=8,
+        interpret=True, exact=True,
+    )
+    cols = np.asarray(cols)
+    assert all(gt[i] in cols[i] for i in range(24))
+
+
 def test_binned_topk_with_rerank_reaches_full_recall():
     """bins + oversampled exact rerank recover the true top-k (statistical:
     oversample covers the rare congruence-class collisions)."""
