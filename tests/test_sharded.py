@@ -184,3 +184,25 @@ def test_sharded_flat_scan_exact_and_fast(sharded):
         assert recall >= 0.99, (fast, recall)
         # self-hit at distance ~0
         assert (got[:, 0] == np.arange(24)).mean() >= 0.95
+
+
+def test_parallel_build_matches_sequential():
+    """Overlapped (threaded) shard builds produce byte-identical stacks to
+    the sequential path: per-shard determinism is (seed + shard)-only."""
+    source = random_unit_corpus(300, 16, seed=21)
+    mesh = default_mesh()
+    a = ShardedHnsw.generate(
+        source, mesh, BP, Metric.NORMALIZED_COSINE, seed=3, parallel_build=True
+    )
+    b = ShardedHnsw.generate(
+        source, mesh, BP, Metric.NORMALIZED_COSINE, seed=3, parallel_build=False
+    )
+    assert len(a.layers_stacked) == len(b.layers_stacked)
+    for la, lb in zip(a.layers_stacked, b.layers_stacked):
+        np.testing.assert_array_equal(np.asarray(la.nodes), np.asarray(lb.nodes))
+        np.testing.assert_array_equal(
+            np.asarray(la.neighbors), np.asarray(lb.neighbors)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(a.global_ids), np.asarray(b.global_ids)
+    )
