@@ -52,6 +52,7 @@ def fast_flat_knn(
     oversample: int = 4,
     query_block: int = 4096,
     corpus_block: int = 1 << 19,
+    scan_mode: str = "auto",
 ):
     """Top-k by fast-precision flat scan + exact rerank. Returns (ids, dists).
 
@@ -68,16 +69,29 @@ def fast_flat_knn(
     The reference has no analogue (flat scan is hopeless on CPU at this
     scale); cited for contrast with `benches/bench.rs:54-63`'s graph-only
     workload.
+
+    ``scan_mode``: "auto" (binned kernel at/above 200k rows, exhaustive
+    below), or force "exhaustive" / "binned" / "folded".  "folded" uses the
+    accumulating kernel — the cross-tile min folds inside the kernel and
+    the top-k input is a fixed ``[Q, n_slots*128]`` slab, so the whole
+    corpus is one scan block.
     """
     import functools as _ft
 
-    from parallel_hnsw_tpu.ops.pallas_scan import LANES, binned_scan
+    from parallel_hnsw_tpu.ops.pallas_scan import LANES, binned_scan, folded_scan
 
     tile_c = 4096
 
-    @_ft.partial(jax.jit, static_argnames=("metric", "kk", "tile_c", "binned"))
-    def scan_block(q, vecs, offset, metric, kk, tile_c, binned):
-        if binned:
+    @_ft.partial(jax.jit, static_argnames=("metric", "kk", "tile_c", "mode"))
+    def scan_block(q, vecs, offset, metric, kk, tile_c, mode):
+        if mode == "folded":
+            bd, bc = folded_scan(q, vecs, metric, tile_c=tile_c, exact=False)
+            kk2 = min(kk, bd.shape[-1])
+            dd, pos = jax.lax.approx_min_k(bd, kk2)
+            ids = jnp.take_along_axis(bc, pos, axis=-1) + offset
+            ids = jnp.where(jnp.isfinite(dd), ids, EMPTY_ID)
+            return ids.astype(ID_DTYPE), dd
+        if mode == "binned":
             # fused Pallas scan: each [TQ, tile_c] distance tile reduces to
             # 128 congruence-class minima before touching HBM (binned_study:
             # 3.1x over materialize+top_k at 1M x 128); approx_min_k then
@@ -119,23 +133,46 @@ def fast_flat_knn(
     # off-TPU the chunk keeps the unreduced bound.
     # binned mode needs enough congruence classes to keep collision losses
     # negligible; under ~200k rows the exhaustive bf16 scan is cheap anyway
-    binned = n >= 200_000
+    if scan_mode == "auto":
+        mode = "binned" if n >= 200_000 else "exhaustive"
+    else:
+        mode = scan_mode
+    binned = mode == "binned"
     on_tpu = jax.default_backend() in ("tpu", "axon")
     reduction = (tile_c // LANES) if (on_tpu and binned) else 1
-    corpus_block = max(
-        tile_c if binned else 4096,
-        min(corpus_block * reduction,
-            (MATRIX_BYTE_BUDGET // (query_block * 4)) * reduction),
-    )
+    if mode == "folded":
+        # the fold's output is corpus-size-independent: a dense corpus is
+        # one scan block (streamed by the kernel, no gather); reconstructing
+        # sources (PQ) keep the budgeted chunking + slab merge
+        from parallel_hnsw_tpu.graph import DenseSource
+
+        if isinstance(source, DenseSource):
+            corpus_block = n
+        else:
+            red = tile_c // LANES
+            corpus_block = max(
+                tile_c,
+                min(corpus_block * red,
+                    (MATRIX_BYTE_BUDGET // (query_block * 4)) * red),
+            )
+    else:
+        corpus_block = max(
+            tile_c if binned else 4096,
+            min(corpus_block * reduction,
+                (MATRIX_BYTE_BUDGET // (query_block * 4)) * reduction),
+        )
     all_ids = jnp.arange(n)
     out_i, out_d = [], []
     for qs in range(0, queries.shape[0], query_block):
         q = queries[qs : qs + query_block]
         best_i = best_d = None
         for cs in range(0, n, corpus_block):
-            vecs = source_get(source, all_ids[cs : cs + corpus_block])
+            if cs == 0 and corpus_block >= n and hasattr(source, "vectors"):
+                vecs = source.vectors  # whole-corpus block: skip the gather
+            else:
+                vecs = source_get(source, all_ids[cs : cs + corpus_block])
             kk = min(k_scan, vecs.shape[0])
-            idx, dd = scan_block(q, vecs, cs, metric, kk, tile_c, binned)
+            idx, dd = scan_block(q, vecs, cs, metric, kk, tile_c, mode)
             if best_i is None:
                 best_i, best_d = idx, dd
             else:

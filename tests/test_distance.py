@@ -95,6 +95,28 @@ def test_fast_flat_knn_matches_exact_scan():
         np.testing.assert_allclose(np.asarray(d), np.asarray(gt_d), atol=1e-5)
 
 
+def test_fast_flat_knn_folded_mode_high_recall():
+    """scan_mode='folded' (accumulating kernel path; XLA twin on CPU) keeps
+    near-exact recall via oversample + rerank despite the coarser
+    n_slots*128-bin fold."""
+    from parallel_hnsw_tpu.analysis import brute_force_knn, fast_flat_knn
+    from parallel_hnsw_tpu.graph import DenseSource
+
+    vecs = _unit(5000, 32)
+    src = DenseSource(vectors=jnp.asarray(vecs))
+    queries = jnp.asarray(_unit(64, 32))
+    gt_ids, _ = brute_force_knn(src, queries, Metric.EUCLIDEAN, 10)
+    ids, d = fast_flat_knn(
+        src, queries, Metric.EUCLIDEAN, 10, oversample=8, scan_mode="folded"
+    )
+    got, gt = np.asarray(ids), np.asarray(gt_ids)
+    recall = np.mean(
+        [len(np.intersect1d(got[i], gt[i])) for i in range(64)]
+    ) / 10.0
+    assert recall >= 0.97, recall
+    assert np.all(np.diff(np.asarray(d), axis=1) >= -1e-6)
+
+
 def test_hnsw_search_exact_fast_path():
     from parallel_hnsw_tpu.graph import DenseSource
     from parallel_hnsw_tpu.index import Hnsw
