@@ -56,6 +56,7 @@ class Hnsw:
         self.verbose = verbose
         self._dense_cache = None
         self._routing = None
+        self._hop_slabs = None
 
     # -- construction --------------------------------------------------------
 
@@ -264,6 +265,27 @@ class Hnsw:
     def disable_routing(self) -> None:
         self._routing = None
 
+    def enable_hop_slabs(self, byte_budget: int = 4 << 30) -> None:
+        """Materialize neighbor-major feature slabs so each hop issues one
+        row gather per expanded node instead of M per-candidate gathers (see
+        :class:`parallel_hnsw_tpu.routing.HopSlabs`).  Built over the
+        routing cache when :meth:`enable_routing` ran first (bf16/projected
+        rows — the memory knob), else over the full-precision source
+        (results identical to the plain hop).  Derived state: any graph
+        mutation (improve/promote/extend) drops it — call again after."""
+        from parallel_hnsw_tpu import routing as _routing
+
+        self._hop_slabs = _routing.build_hop_slabs(
+            self.layers, self.compute_source, self.metric,
+            routing=self._routing, byte_budget=byte_budget,
+        )
+
+    def disable_hop_slabs(self) -> None:
+        self._hop_slabs = None
+
+    def _invalidate_hop_slabs(self) -> None:
+        self._hop_slabs = None
+
     def search(
         self,
         queries: jax.Array,
@@ -284,6 +306,7 @@ class Hnsw:
         sp = sp or self.build_parameters.optimization.search
         if routed is None:
             routed = self._routing is not None
+        slabs = self._hop_slabs.slabs if self._hop_slabs is not None else None
         if routed and self._routing is not None:
             from parallel_hnsw_tpu import routing as _routing
             from parallel_hnsw_tpu.graph import DenseSource
@@ -293,14 +316,18 @@ class Hnsw:
             ids, dists = _search(
                 self.layers, DenseSource(vectors=cache.rows), cache.metric,
                 rq, sp, exclude, query_block,
+                slabs=slabs if (slabs and self._hop_slabs.routed) else None,
             )
             if not rerank_routed:
                 return ids, dists
             return _routing.exact_rerank(
                 self.compute_source, self.metric, queries, ids
             )
+        if slabs is not None and self._hop_slabs.routed:
+            slabs = None  # routed-space slabs can't score raw queries
         return _search(
-            self.layers, self.compute_source, self.metric, queries, sp, exclude, query_block
+            self.layers, self.compute_source, self.metric, queries, sp, exclude,
+            query_block, slabs=slabs,
         )
 
     def search_instrumented(
@@ -518,6 +545,7 @@ class Hnsw:
             self.layers, self.compute_source, self.metric, op, last_recall,
             monitor=progress,
         )
+        self._invalidate_hop_slabs()
         return recall
 
     def _promoter(self, layers: List[Layer], lft: int, bp: BuildParams, monitor=None):
@@ -542,6 +570,7 @@ class Hnsw:
     def promote_at_layer(self, layer_from_top: int, bp: Optional[BuildParams] = None) -> bool:
         bp = bp or self.build_parameters
         self.layers, promoted = self._promoter(self.layers, layer_from_top, bp)
+        self._invalidate_hop_slabs()
         return promoted
 
     def improve_index(
@@ -567,6 +596,7 @@ class Hnsw:
             log=self._log if self.verbose else None,
             monitor=monitor,
         )
+        self._invalidate_hop_slabs()
         return recall
 
     # -- diagnostics (reference: src/lib.rs:279-548, 977-1000) ---------------
@@ -604,6 +634,7 @@ class Hnsw:
 
     def extend_layer(self, layer_id: int, vecs: np.ndarray) -> None:
         self.layers = _promote.extend_layer(self.layers, layer_id, vecs)
+        self._invalidate_hop_slabs()
 
     def assert_invariants(self) -> None:
         assert_layer_invariants(self.layers)

@@ -153,3 +153,75 @@ def _rerank_block_jit(source, metric: Metric, queries, ids):
     d = batched_distance(queries, cand, metric)
     d = jnp.where(ids == EMPTY_ID, jnp.inf, d)
     return sort_queue(ids, d)
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-major hop slabs
+
+
+class HopSlabs(NamedTuple):
+    """Per-layer neighbor-major feature slabs for gather-light traversal.
+
+    ``slabs[i][n, j]`` holds the (routing-space) features of
+    ``layers[i].neighbors[n, j]`` — one slab row per node packs all M
+    neighbor feature rows, so the hop issues ONE row gather per expanded
+    node instead of M per-candidate gathers.  The hop gather is issue-rate
+    bound (~22ns/row regardless of width, BENCH_NOTES "Gather micro-study"),
+    so this trades M-fold feature duplication in HBM for an ~M-fold cut in
+    the hop's dominant cost.  Derived (recomputable) state: any layer
+    mutation invalidates it.
+
+    ``routed`` records whether rows live in a routing cache's space (score
+    with routed queries + exact final rerank) or in the source's native
+    space (results bit-identical to the plain hop when f32).
+    """
+
+    slabs: Tuple[jax.Array, ...]  # per layer [N_padded, M, width]
+    routed: bool
+
+
+def build_hop_slabs(
+    layers,
+    source: Source,
+    metric: Metric,
+    routing: Optional[RoutingCache] = None,
+    byte_budget: int = 4 << 30,
+    block: int = 1 << 20,
+) -> HopSlabs:
+    """Materialize neighbor-feature slabs for every layer (padded to the
+    same node buckets ``search`` uses, so jitted programs match).
+
+    With ``routing`` given, slab rows are the cache's bf16 (optionally
+    projected) rows — the memory knob for large corpora: slab bytes are
+    ``sum(N_i * M_i) * width * itemsize``.  Raises if the total exceeds
+    ``byte_budget``.
+    """
+    from parallel_hnsw_tpu.graph import node_to_vec, pad_layer
+
+    rows = routing.rows if routing is not None else None
+    width = int(rows.shape[1]) if rows is not None else source_effective_width(source)
+    itemsize = 2 if rows is not None else 4
+    padded = [pad_layer(l) for l in layers]
+    total = sum(p.neighbors.size * width * itemsize for p in padded)
+    if total > byte_budget:
+        raise ValueError(
+            f"hop slabs need {total / 1e9:.2f} GB (> budget "
+            f"{byte_budget / 1e9:.2f} GB); enable_routing with a smaller dr "
+            "or raise byte_budget"
+        )
+    slabs = []
+    for pl in padded:
+        n, m = pl.neighbors.shape
+        flat = pl.neighbors.reshape(-1)
+        vids = node_to_vec(pl.nodes, flat)
+        safe = jnp.clip(vids, 0, (rows.shape[0] if rows is not None else source.count) - 1)
+        outs = []
+        for start in range(0, safe.shape[0], block):
+            chunk = safe[start : start + block]
+            if rows is not None:
+                outs.append(jnp.take(rows, chunk, axis=0))
+            else:
+                outs.append(gather_features(source, chunk, block=16384))
+        feats = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        slabs.append(feats.reshape(n, m, feats.shape[-1]))
+    return HopSlabs(slabs=tuple(slabs), routed=routing is not None)

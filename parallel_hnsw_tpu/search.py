@@ -60,9 +60,20 @@ def _layer_step_fns(
     cap: int,
     beam_width: int,
     max_hops: int,
+    slab=None,
 ):
     """Build the (cond, body) of the per-layer expansion loop; shared by the
-    one-shot in-jit search and the resumable host-driven advance."""
+    one-shot in-jit search and the resumable host-driven advance.
+
+    ``slab`` is an optional neighbor-major feature slab ``[N, M, dr]``
+    (``slab[n, j]`` = features of ``layer.neighbors[n, j]``): the hop then
+    issues ONE row gather per expanded node instead of M per-candidate
+    gathers.  The XLA gather on this part is issue-rate-bound (~22ns/row
+    regardless of width — BENCH_NOTES "Gather micro-study"), so packing the
+    M neighbor feature rows into one slab row cuts the hop's gather cost by
+    ~M at the price of M-fold feature duplication in HBM (see
+    ``routing.build_hop_slabs`` for the memory budget / projection options).
+    """
     q_count = queries.shape[0]
     n, m = layer.neighbors.shape
     b = min(beam_width, cap)
@@ -95,7 +106,14 @@ def _layer_step_fns(
         valid = flat_nodes != EMPTY_ID
 
         # --- distances to the query (one batched contraction)
-        cand_vecs = source_get(source, node_to_vec(layer.nodes, flat_nodes))
+        if slab is not None:
+            # one slab row per expanded node carries all M neighbor features;
+            # invalid slots are masked below via flat_nodes == EMPTY_ID
+            cand_vecs = jnp.take(slab, safe_nodes, axis=0).reshape(
+                q_count, b * m, slab.shape[-1]
+            )
+        else:
+            cand_vecs = source_get(source, node_to_vec(layer.nodes, flat_nodes))
         d = batched_distance(queries, cand_vecs, metric)
         d = jnp.where(valid, d, EMPTY_DIST)
         flat_ids = jnp.where(valid, flat_nodes, EMPTY_ID)
@@ -136,6 +154,7 @@ def search_one_layer(
     probe_depth: int,
     beam_width: int,
     max_hops: int,
+    slab=None,
 ) -> LayerSearchState:
     """Expand candidate queues inside one layer until convergence.
 
@@ -144,7 +163,7 @@ def search_one_layer(
     q_count, cap = init_ids.shape
     max_hops = _auto_max_hops(cap, max_hops)
     cond, body = _layer_step_fns(
-        layer, source, metric, queries, cap, beam_width, max_hops
+        layer, source, metric, queries, cap, beam_width, max_hops, slab=slab
     )
     init = LayerSearchState(
         ids=init_ids,
@@ -311,6 +330,7 @@ def search_stack(
     queries: jax.Array,  # [Q, D]
     sp: SearchParams,
     exclude: Optional[jax.Array] = None,  # [Q] vector ids to drop from results
+    slabs=None,  # optional per-layer neighbor-major feature slabs
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Descend the layer stack (reference: search_layers, src/search.rs:84-140).
 
@@ -348,6 +368,7 @@ def search_stack(
             probe_depth=sp.probe_depth,
             beam_width=sp.beam_width,
             max_hops=sp.max_hops,
+            slab=slabs[i] if slabs is not None else None,
         )
         total_hops = total_hops + state.hops
         total_evals = total_evals + state.evals
@@ -477,9 +498,10 @@ def _search_stack_jit(
     sp: SearchParams,
     exclude,
     layer_count: int,
+    slabs=None,
 ):
     layers = [Layer(*layers_flat[2 * i : 2 * i + 2]) for i in range(layer_count)]
-    return search_stack(layers, source, metric, queries, sp, exclude)
+    return search_stack(layers, source, metric, queries, sp, exclude, slabs=slabs)
 
 
 def auto_query_block(source: Source, sp: SearchParams, max_m: int, budget_bytes: int = 2 << 30) -> int:
@@ -506,7 +528,10 @@ def _query_bucket(q: int) -> int:
         p *= 2
 
 
-def _run_block(flat, source, metric, queries, sp, exclude, layer_count, layers=None):
+def _run_block(
+    flat, source, metric, queries, sp, exclude, layer_count, layers=None,
+    slabs=None,
+):
     q = queries.shape[0]
     b = _query_bucket(q)
     if b != q:
@@ -518,7 +543,7 @@ def _run_block(flat, source, metric, queries, sp, exclude, layer_count, layers=N
         ids, dists = search_host(layers, source, metric, queries, sp, exclude)
     else:
         ids, dists, hops, evals, improve_hop = _search_stack_jit(
-            flat, source, metric, queries, sp, exclude, layer_count
+            flat, source, metric, queries, sp, exclude, layer_count, slabs
         )
     return ids[:q], dists[:q]
 
@@ -532,6 +557,7 @@ def search(
     exclude: Optional[jax.Array] = None,
     query_block: int = 0,
     adaptive: bool = False,
+    slabs=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Multi-layer search with optional host-side query chunking.
 
@@ -553,15 +579,24 @@ def search(
         query_block = auto_query_block(source, sp, max_m)
 
     flat = []
-    for l in layers:
+    for i, l in enumerate(layers):
         pl = pad_layer(l)
         flat.extend([pl.nodes, pl.neighbors])
+        if slabs is not None and slabs[i].shape[:2] != pl.neighbors.shape:
+            raise ValueError(
+                f"hop slab {i} shape {slabs[i].shape[:2]} does not match the "
+                f"padded layer {pl.neighbors.shape} — rebuild the slabs "
+                "(the graph changed since enable_hop_slabs)"
+            )
     flat = tuple(flat)
+    if slabs is not None:
+        slabs = tuple(slabs)
     adaptive_layers = list(layers) if adaptive else None
 
     if query_block <= 0 or queries.shape[0] <= query_block:
         return _run_block(
-            flat, source, metric, queries, sp, exclude, len(layers), adaptive_layers
+            flat, source, metric, queries, sp, exclude, len(layers),
+            adaptive_layers, slabs,
         )
 
     outs = []
@@ -571,7 +606,7 @@ def search(
         outs.append(
             _run_block(
                 flat, source, metric, queries[start:stop], sp, ex, len(layers),
-                adaptive_layers,
+                adaptive_layers, slabs,
             )
         )
     ids = jnp.concatenate([o[0] for o in outs], axis=0)
