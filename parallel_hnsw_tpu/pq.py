@@ -430,6 +430,14 @@ class QuantizedHnsw:
         code reconstruction to narrow bf16 routing rows."""
         self.hnsw.enable_routing(dr=dr, seed=seed)
 
+    def enable_hop_slabs(self, byte_budget: int = 4 << 30) -> None:
+        """Neighbor-major hop slabs for the code graph (one gather per
+        expanded node instead of M per-candidate reconstructions — see
+        :class:`parallel_hnsw_tpu.routing.HopSlabs`).  Call
+        :meth:`enable_routing` first to shrink the slab (bf16 / projected
+        rows); the final exact rerank is unchanged."""
+        self.hnsw.enable_hop_slabs(byte_budget=byte_budget)
+
     def _rerank(self, queries, ids, block_budget: int = 1 << 30):
         """Exact rerank of every returned candidate with the full-precision
         vectors, resorted by (distance, id) (reference: src/pq.rs:354-363)."""

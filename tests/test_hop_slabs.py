@@ -65,3 +65,27 @@ def test_slab_memory_budget_enforced():
     _, h = _index(n=300)
     with pytest.raises(ValueError, match="budget"):
         h.enable_hop_slabs(byte_budget=1024)
+
+
+def test_pq_code_graph_with_routed_slabs():
+    """Slabs on the PQ code graph: same rerank contract, recall holds."""
+    from parallel_hnsw_tpu.params import PqBuildParams
+    from parallel_hnsw_tpu.pq import QuantizedHnsw
+
+    source = random_unit_corpus(800, 32, seed=9)
+    q = QuantizedHnsw.new(
+        number_of_centroids=64,
+        full_source=source,
+        dsub=8,
+        metric=Metric.COSINE,
+        pqp=PqBuildParams(centroids=BP, hnsw=BP),
+        seed=0,
+        exact_quantize=True,
+    )
+    queries = source.vectors[:48]
+    base_ids, _ = q.search(queries)
+    q.enable_routing(dr=None)
+    q.enable_hop_slabs()
+    slab_ids, _ = q.search(queries)
+    a, b = np.asarray(base_ids[:, 0]), np.asarray(slab_ids[:, 0])
+    assert (a == b).mean() >= 0.95, (a == b).mean()
