@@ -55,9 +55,21 @@ def main(nq=2048, efs=(24, 48, 100, 300)):
                           "recall_at_1": round(r1, 4), "recall_at_10": round(r10, 4),
                           "qps": round(nq / best, 1)}), flush=True)
 
+    def _slabs(dr):
+        def go():
+            q.enable_routing(dr=dr)
+            q.enable_hop_slabs(byte_budget=10 << 30)
+        return go
+
+    def _plain():
+        q.hnsw.disable_routing()
+        q.hnsw.disable_hop_slabs()
+
     for label, enable in (
-        ("exact-hop", lambda: q.hnsw.disable_routing()),
-        ("routed-bf16", lambda: q.enable_routing(dr=None)),
+        ("exact-hop", _plain),
+        ("routed-bf16", lambda: (q.hnsw.disable_hop_slabs(), q.enable_routing(dr=None))),
+        ("routed-bf16+slabs", _slabs(None)),
+        ("routed-dr384+slabs", _slabs(384)),
     ):
         enable()
         for ef in efs:
