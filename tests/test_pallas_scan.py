@@ -128,3 +128,24 @@ def test_binned_topk_with_rerank_reaches_full_recall():
     got = np.asarray(cand[:, :k])
     recall = np.mean([len(np.intersect1d(got[i], gt[i])) for i in range(32)]) / k
     assert recall >= 0.99, recall
+
+
+def test_xla_folded_scan_matches_numpy_fold():
+    """xla_folded_scan == a straight numpy fold over per-tile bins."""
+    from parallel_hnsw_tpu.ops.pallas_scan import xla_folded_scan
+
+    x = jnp.asarray(_unit(12, 8))
+    y = jnp.asarray(_unit(900, 8))  # 4 tiles of 256 (padded), n_slots=2
+    d = np.asarray(pairwise_distance(x, y, Metric.EUCLIDEAN))
+    bin_d, cols = _numpy_binned(d, 256)
+    n_tiles = bin_d.shape[1] // LANES
+    n_slots, n_jj = 2, 2
+    d4 = bin_d.reshape(12, n_slots, n_jj, LANES)
+    c4 = cols.reshape(12, n_slots, n_jj, LANES)
+    jj = d4.argmin(axis=2)
+    want_d = np.take_along_axis(d4, jj[:, :, None, :], axis=2)[:, :, 0, :].reshape(12, -1)
+    want_c = np.take_along_axis(c4, jj[:, :, None, :], axis=2)[:, :, 0, :].reshape(12, -1)
+    got_d, got_c = xla_folded_scan(x, y, Metric.EUCLIDEAN, tile_c=256, n_slots=2, exact=True)
+    np.testing.assert_allclose(np.asarray(got_d), want_d, atol=1e-6)
+    fin = np.isfinite(want_d)
+    np.testing.assert_array_equal(np.asarray(got_c)[fin], want_c[fin])

@@ -249,3 +249,15 @@ def test_quantizer_fast_path_end_to_end():
     c_fast = quant.quantize(src.vectors, fast=True)
     agree = (np.asarray(c_exact) == np.asarray(c_fast)).mean()
     assert agree >= 0.99, agree
+
+
+def test_quantize_binned_chunk_boundaries():
+    """Blocked dispatch (block < n) returns the same codes as one block."""
+    from parallel_hnsw_tpu.pq import quantize_binned
+
+    rng = np.random.default_rng(12)
+    subs = jnp.asarray(rng.normal(size=(1000, 4)).astype(np.float32))
+    cents = jnp.asarray(rng.normal(size=(300, 4)).astype(np.float32))
+    one = np.asarray(quantize_binned(subs, cents, Metric.SQUARED_EUCLIDEAN, block=4096))
+    many = np.asarray(quantize_binned(subs, cents, Metric.SQUARED_EUCLIDEAN, block=256))
+    np.testing.assert_array_equal(one, many)
