@@ -390,3 +390,41 @@ def binned_scan(
             x, y, metric, tile_q=tile_q, tile_c=tile_c, exact=exact
         )
     return xla_binned_scan(x, y, metric, tile_c=tile_c, exact=exact)
+
+
+def folded_scan(
+    x,
+    y,
+    metric,
+    tile_c: int = 2048,
+    n_slots: int = 32,
+    exact: bool = False,
+    tile_q: int = 0,
+):
+    """Dispatch for the accumulating kernel (``pallas_folded_scan`` on TPU,
+    XLA twin elsewhere), mirroring ``binned_scan``'s bf16 fast mode and
+    VMEM-aware tile clamp.  Output is ``[Q, n_slots*128]`` — the caller's
+    top-k input no longer grows with the corpus."""
+    if not exact:
+        x = x.astype(jnp.bfloat16)
+        y = y.astype(jnp.bfloat16)
+    itemsize = 2 if not exact else 4
+    tile_c = clamp_tile_c(tile_c, x.shape[-1], itemsize)
+    if tile_q <= 0:
+        tile_q = 256
+    platform = None
+    try:
+        devs = getattr(x, "devices", None)
+        if callable(devs):
+            platform = next(iter(x.devices())).platform
+    except Exception:
+        platform = None
+    if platform is None:
+        dd = jax.config.jax_default_device
+        platform = dd.platform if dd is not None else jax.default_backend()
+    if platform in ("tpu", "axon"):
+        return pallas_folded_scan(
+            x, y, metric, tile_q=tile_q, tile_c=tile_c, n_slots=n_slots,
+            exact=exact,
+        )
+    return xla_folded_scan(x, y, metric, tile_c=tile_c, n_slots=n_slots, exact=exact)
