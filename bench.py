@@ -183,6 +183,7 @@ def main() -> None:
         # progressively cheaper (ef, probe_depth) points and keep the fastest
         # one that clears the floor.  The ef=300 reference-default number above
         # remains the parity anchor.
+        passing = []
         for ef, pd in ((100, 2), (60, 2), (40, 2), (24, 2), (16, 2), (12, 1)):
             sp_try = sp.replace(
                 number_of_candidates=ef,
@@ -194,8 +195,35 @@ def main() -> None:
                   file=sys.stderr)
             if r < args.recall_floor:
                 break
+            passing.append(sp_try)
             if q_ > qps:
                 recall_at_10, qps, sp = r, q_, sp_try
+        # Hop-slab variant: neighbor-major feature slabs cut the hop to ONE
+        # gather per expanded node (the hop's gather is issue-rate bound —
+        # BENCH_NOTES "Gather micro-study").  Unrouted f32 slabs return
+        # byte-identical results (tests/test_hop_slabs.py), so the recall
+        # curve is unchanged; re-measure the cheapest passing points.
+        try:
+            t0 = time.time()
+            index.enable_hop_slabs()
+            print(f"# hop slabs built in {time.time() - t0:.1f}s", file=sys.stderr)
+            for sp_try in passing[-2:]:
+                r, q_ = measure(
+                    lambda qq: index.search(qq, sp_try, query_block=args.query_block)
+                )
+                print(
+                    f"# slab op point ef={sp_try.number_of_candidates} "
+                    f"pd={sp_try.probe_depth}: recall@10={r:.4f} qps={q_:.0f}",
+                    file=sys.stderr,
+                )
+                if r >= args.recall_floor and q_ > qps:
+                    recall_at_10, qps, sp = r, q_, sp_try
+                    tag = "dense+slabs"
+        except ValueError as e:  # slab byte budget exceeded at this scale
+            print(f"# hop slabs skipped: {e}", file=sys.stderr)
+        finally:
+            if tag != "dense+slabs":
+                index.disable_hop_slabs()
 
     build_note = (
         "no build" if build_s != build_s else f"{build_s:.1f}s ({build_rate:.0f} vec/s)"
