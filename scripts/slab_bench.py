@@ -53,21 +53,27 @@ def measure(h, queries, sp, gt, label):
 def main(count=10_000, dim=100):
     print(jax.devices(), flush=True)
     source = random_unit_corpus(count, dim, seed=42)  # bench.py's corpus
+    metric = Metric.NORMALIZED_COSINE  # the gate workload's metric
     t0 = time.time()
-    h = Hnsw.generate(source, metric=Metric.COSINE)
+    h = Hnsw.generate(source, metric=metric)
     print(f"# build: {time.time()-t0:.1f}s", flush=True)
     queries = source.vectors
     from parallel_hnsw_tpu.analysis import brute_force_knn
 
-    gt_ids, _ = brute_force_knn(source, queries, Metric.COSINE, 10)
+    gt_ids, _ = brute_force_knn(source, queries, metric, 10)
     gt = np.asarray(gt_ids)
 
-    points = [
-        SearchParams(number_of_candidates=12, probe_depth=1, beam_width=4),
-        SearchParams(number_of_candidates=24, probe_depth=1, beam_width=4),
-        SearchParams(number_of_candidates=40, probe_depth=2, beam_width=4),
-        SearchParams(number_of_candidates=300, probe_depth=2, beam_width=4),
-    ]
+    # pin upper_layer_candidate_count like bench.py's op-point selection does,
+    # so the ef=12/pd=1 row is the actual gate operating point
+    def op(ef, pd):
+        return SearchParams(
+            number_of_candidates=ef,
+            upper_layer_candidate_count=min(ef, 300),
+            probe_depth=pd,
+            beam_width=4,
+        )
+
+    points = [op(12, 1), op(24, 1), op(40, 2), op(300, 2)]
     for sp in points:
         measure(h, queries, sp, gt, "plain")
     h.enable_hop_slabs(byte_budget=8 << 30)
