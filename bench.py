@@ -219,8 +219,9 @@ def main() -> None:
                 if r >= args.recall_floor and q_ > qps:
                     recall_at_10, qps, sp = r, q_, sp_try
                     tag = "dense+slabs"
-        except ValueError as e:  # slab byte budget exceeded at this scale
-            print(f"# hop slabs skipped: {e}", file=sys.stderr)
+        except Exception as e:  # byte budget exceeded, or any slab-path
+            # failure — never lose the already-measured gate numbers
+            print(f"# hop slabs skipped: {type(e).__name__}: {e}", file=sys.stderr)
         finally:
             if tag != "dense+slabs":
                 index.disable_hop_slabs()
