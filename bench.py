@@ -30,8 +30,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -42,6 +45,71 @@ import numpy as np
 # best-recall operating point IS the denominator.
 REF_SINGLE_CORE_QPS = 580.3  # ef=300/pd=2, recall@10=0.9246 (its maximum)
 REF_SINGLE_CORE_BUILD_VPS = 399.5  # full generate incl. per-rung improve
+
+
+def _emit_error(exc: BaseException) -> None:
+    """Always leave ONE parseable JSON line, even on total failure.
+
+    Round 3's driver capture died at axon backend init during a chip outage
+    and the record was a bare traceback (BENCH_r03.json rc=1).  The contract
+    is one JSON line per run; a failed run reports itself in-band."""
+    traceback.print_exc(file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "bench failed before measurement",
+                "value": 0.0,
+                "unit": "qps",
+                "vs_baseline": 0.0,
+                "error": f"{type(exc).__name__}: {exc}",
+            }
+        )
+    )
+
+
+def wait_for_backend() -> None:
+    """Bounded wait for the TPU backend with backoff (outage resilience).
+
+    Probes in a SUBPROCESS: a failed in-process ``jax.devices()`` poisons
+    jax's backend cache, and a wedged tunnel can hang a client in recvfrom
+    (so each probe gets a hard timeout).  After the first successful probe,
+    sleeps a settle delay — the axon chip grant releases lazily and an
+    immediate re-attach can die with FAILED_PRECONDITION.
+
+    Tunables (env): BENCH_BACKEND_WAIT_S total budget (default 1500s — the
+    grant wedge is ~10 min, so wait at least 20), BENCH_SETTLE_S post-probe
+    settle (default 180s), BENCH_PROBE_EVERY_S (default 90s).  Skipped
+    entirely on CPU-only runs (JAX_PLATFORMS=cpu).
+    """
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "1500"))
+    settle = float(os.environ.get("BENCH_SETTLE_S", "180"))
+    every = float(os.environ.get("BENCH_PROBE_EVERY_S", "90"))
+    deadline = time.time() + budget
+    probe = [sys.executable, "-c", "import jax; jax.devices()"]
+    first = True
+    while True:
+        try:
+            rc = subprocess.run(
+                probe, capture_output=True, timeout=240
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            if not first:
+                # a prior probe failed → the backend just came back; give the
+                # grant time to settle before the real client attaches
+                print(f"# backend up; settling {settle:.0f}s", file=sys.stderr)
+                time.sleep(settle)
+            return
+        first = False
+        if time.time() + every > deadline:
+            raise RuntimeError(
+                f"TPU backend unavailable after {budget:.0f}s of probing"
+            )
+        print("# backend unavailable; retrying", file=sys.stderr)
+        time.sleep(every)
 
 
 def main() -> None:
@@ -75,6 +143,8 @@ def main() -> None:
         "target: QPS at recall@10 >= 0.95, BASELINE.md)",
     )
     args = p.parse_args()
+
+    wait_for_backend()
 
     from parallel_hnsw_tpu.utils.cache import enable_compilation_cache
 
@@ -256,4 +326,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — one JSON line, no matter what
+        _emit_error(e)
+        raise SystemExit(1)

@@ -348,9 +348,25 @@ class Hnsw:
         self,
         queries: jax.Array,
         sp: Optional[SearchParams] = None,
-        upto_layer_from_top: int = 0,
+        upto_layer_from_top: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array]:
+        """Search only the top ``upto_layer_from_top`` layers of the stack
+        (reference: Hnsw::search_upto, src/lib.rs:654-661 — searches
+        ``layers[..upto_layer_from_top]``).
+
+        ``upto_layer_from_top`` must be in ``[1, layer_count]``; ``None``
+        (default) searches the full stack, same as :meth:`search`.  The
+        reference's 0 case indexes an empty slice and panics
+        (src/search.rs:9-11); here it raises ``ValueError`` instead.
+        """
         sp = sp or self.build_parameters.optimization.search
+        if upto_layer_from_top is None:
+            upto_layer_from_top = len(self.layers)
+        if not 1 <= upto_layer_from_top <= len(self.layers):
+            raise ValueError(
+                f"upto_layer_from_top must be in [1, {len(self.layers)}], "
+                f"got {upto_layer_from_top} (0 layers has no entry point)"
+            )
         return _search(
             self.layers[:upto_layer_from_top], self.compute_source, self.metric, queries, sp
         )

@@ -54,6 +54,16 @@ def test_search_variants(hnsw):
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
     su_ids, _ = hnsw.search_upto(q, upto_layer_from_top=1)
     assert su_ids.shape[0] == 5
+    # default = full depth: same results as search() (src/lib.rs:654-665 —
+    # search() IS search_layers over the whole stack)
+    full_ids, _ = hnsw.search_upto(q)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(full_ids))
+    # 0 layers has no entry point; the reference panics (src/search.rs:9-11),
+    # we raise
+    with pytest.raises(ValueError):
+        hnsw.search_upto(q, upto_layer_from_top=0)
+    with pytest.raises(ValueError):
+        hnsw.search_upto(q, upto_layer_from_top=hnsw.layer_count + 1)
     si_ids, _ = hnsw.search_ids(jnp.arange(5), exclude_self=True)
     for i in range(5):
         assert i not in np.asarray(si_ids[i])
