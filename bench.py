@@ -254,7 +254,7 @@ def main() -> None:
         # one that clears the floor.  The ef=300 reference-default number above
         # remains the parity anchor.
         passing = []
-        for ef, pd in ((100, 2), (60, 2), (40, 2), (24, 2), (16, 2), (12, 1)):
+        for ef, pd in ((100, 2), (60, 2), (40, 2), (24, 2), (16, 2), (12, 1), (10, 1)):
             sp_try = sp.replace(
                 number_of_candidates=ef,
                 upper_layer_candidate_count=min(ef, sp.upper_layer_candidate_count),
@@ -273,27 +273,47 @@ def main() -> None:
         # BENCH_NOTES "Gather micro-study").  Unrouted f32 slabs return
         # byte-identical results (tests/test_hop_slabs.py), so the recall
         # curve is unchanged; re-measure the cheapest passing points.
-        try:
-            t0 = time.time()
-            index.enable_hop_slabs()
-            print(f"# hop slabs built in {time.time() - t0:.1f}s", file=sys.stderr)
-            for sp_try in passing[-2:]:
-                r, q_ = measure(
-                    lambda qq: index.search(qq, sp_try, query_block=args.query_block)
-                )
-                print(
-                    f"# slab op point ef={sp_try.number_of_candidates} "
-                    f"pd={sp_try.probe_depth}: recall@10={r:.4f} qps={q_:.0f}",
-                    file=sys.stderr,
-                )
-                if r >= args.recall_floor and q_ > qps:
-                    recall_at_10, qps, sp = r, q_, sp_try
-                    tag = "dense+slabs"
-        except Exception as e:  # byte budget exceeded, or any slab-path
-            # failure — never lose the already-measured gate numbers
-            print(f"# hop slabs skipped: {type(e).__name__}: {e}", file=sys.stderr)
-        finally:
-            if tag != "dense+slabs":
+        # Slab variants, cheapest passing points only.  Two tiers measured in
+        # the round-4 levers study (BENCH_NOTES "traversal levers"): f32 slabs
+        # (byte-identical results, 2.0x at the gate) and bf16 routing rows +
+        # slabs (exact full-precision rerank restores ordering; 2.6x).  Keep
+        # whichever wins at or above the recall floor.
+        def try_variant(tag_name, enable):
+            nonlocal recall_at_10, qps, sp, tag
+            try:
+                t0 = time.time()
+                enable()
+                print(f"# {tag_name} built in {time.time() - t0:.1f}s",
+                      file=sys.stderr)
+                for sp_try in passing[-2:]:
+                    r, q_ = measure(
+                        lambda qq: index.search(qq, sp_try, query_block=args.query_block)
+                    )
+                    print(
+                        f"# {tag_name} op point ef={sp_try.number_of_candidates} "
+                        f"pd={sp_try.probe_depth}: recall@10={r:.4f} qps={q_:.0f}",
+                        file=sys.stderr,
+                    )
+                    if r >= args.recall_floor and q_ > qps:
+                        recall_at_10, qps, sp = r, q_, sp_try
+                        tag = tag_name
+                return True
+            except Exception as e:  # byte budget exceeded, or any slab-path
+                # failure — never lose the already-measured gate numbers
+                print(f"# {tag_name} skipped: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                return False
+
+        try_variant("dense+slabs", index.enable_hop_slabs)
+        try_variant(
+            "dense+routed_slabs",
+            lambda: (index.enable_routing(dr=None), index.enable_hop_slabs()),
+        )
+        if tag != "dense+routed_slabs":
+            index.disable_routing()
+            if tag == "dense+slabs":
+                index.enable_hop_slabs()
+            else:
                 index.disable_hop_slabs()
 
     build_note = (

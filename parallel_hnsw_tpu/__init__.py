@@ -19,7 +19,13 @@ Quick start::
 """
 
 from parallel_hnsw_tpu.constants import EMPTY_DIST, EMPTY_ID, MATCH_EPSILON
-from parallel_hnsw_tpu.graph import DenseSource, Layer, PqSource
+from parallel_hnsw_tpu.graph import (
+    DenseSource,
+    Layer,
+    MemmapSource,
+    PqSource,
+    open_memmap_source,
+)
 from parallel_hnsw_tpu.index import Hnsw
 from parallel_hnsw_tpu.ops.distance import Metric
 from parallel_hnsw_tpu.params import (

@@ -79,7 +79,59 @@ class PqSource(NamedTuple):
         return self.codes.shape[0]
 
 
-Source = Union[DenseSource, PqSource]
+class MemmapSource(NamedTuple):
+    """Host-resident dense vectors (``np.memmap`` or ``np.ndarray``) that are
+    NEVER materialized on device as a whole.
+
+    The out-of-core ingestion seam (reference: ``VectorSelector`` /
+    ``VectorStore``, src/pq.rs:133-142 — the reference streams chunks from an
+    arbitrary store at src/pq.rs:325-334).  Consumers move data host→device
+    in bounded chunks: :meth:`chunks` for quantization / scans,
+    :func:`source_get` (host gather) for rerank row fetches.  Must not be
+    passed into jitted code — it is storage, not a compute operand.
+    """
+
+    vectors: "np.memmap | np.ndarray"  # host [V, D] float32
+
+    @property
+    def dim(self) -> int:
+        return self.vectors.shape[1]
+
+    @property
+    def count(self) -> int:
+        return self.vectors.shape[0]
+
+    def chunks(self, chunk_size: int = 100_000, ids=None):
+        """Yield host f32 chunks (optionally of a row subset) for streamed
+        host→device ingestion.  ``ids`` may be any integer array; rows are
+        fetched in ``chunk_size`` batches so peak host memory stays bounded
+        by one chunk regardless of corpus size."""
+        import numpy as np
+
+        if ids is None:
+            for start in range(0, self.count, chunk_size):
+                yield np.asarray(self.vectors[start : start + chunk_size])
+        else:
+            ids = np.asarray(ids)
+            for start in range(0, len(ids), chunk_size):
+                yield np.asarray(self.vectors[ids[start : start + chunk_size]])
+
+
+def open_memmap_source(path: str, dim: int, dtype="float32") -> MemmapSource:
+    """Open a raw row-major ``[*, dim]`` file as a MemmapSource."""
+    import numpy as np
+
+    mm = np.memmap(path, dtype=dtype, mode="r")
+    count = mm.shape[0] // dim
+    return MemmapSource(vectors=mm.reshape(count, dim))
+
+
+def is_host_source(source) -> bool:
+    """True when the source's storage lives on host (out-of-core path)."""
+    return isinstance(source, MemmapSource)
+
+
+Source = Union[DenseSource, PqSource, MemmapSource]
 
 
 @functools.singledispatch
@@ -100,6 +152,18 @@ def source_get(source, ids: jax.Array) -> jax.Array:
 def _(source: DenseSource, ids: jax.Array) -> jax.Array:
     safe = jnp.clip(ids, 0, source.vectors.shape[0] - 1)
     return jnp.take(source.vectors, safe, axis=0)
+
+
+@source_get.register
+def _(source: MemmapSource, ids: jax.Array) -> jax.Array:
+    """Host gather → one bounded device transfer.  Valid OUTSIDE jit only
+    (storage lives on host); jitted callers must gather via a device-resident
+    source instead."""
+    import numpy as np
+
+    idx = np.clip(np.asarray(ids), 0, source.count - 1)
+    flat = source.vectors[idx.ravel()]
+    return jnp.asarray(flat.reshape(idx.shape + (source.dim,)), jnp.float32)
 
 
 @source_get.register

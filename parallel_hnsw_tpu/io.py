@@ -285,13 +285,25 @@ def serialize_sharded_quantized_hnsw(sq, path: Union[str, Path]) -> None:
     assert isinstance(sq, ShardedQuantizedHnsw)
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    full = np.asarray(sq.full_stacked, np.float32)
+    out_of_core = sq.full_stacked is None
     meta = {
         "format_version": FORMAT_VERSION,
         "kind": "sharded_quantized_hnsw",
         "nsub": sq.quantizer.nsub,
-        "full_shape": list(full.shape),
+        "out_of_core": out_of_core,
     }
+    if out_of_core:
+        # full vectors live in the user's store (reference: the comparator
+        # serializes via the USER's Serializable impl, src/lib.rs:76-83;
+        # a missing store on load is IndexNotFound, src/serialize.rs:143-146).
+        # Record the memmap filename as a reload hint when it has one.
+        mm = sq.full_host.vectors
+        meta["full_dim"] = int(sq.full_host.dim)
+        if getattr(mm, "filename", None):
+            meta["full_path"] = str(mm.filename)
+    else:
+        full = np.asarray(sq.full_stacked, np.float32)
+        meta["full_shape"] = list(full.shape)
     (path / "meta").write_text(json.dumps(meta))
     serialize_hnsw(sq.quantizer.hnsw, path / "quantizer")
     (path / "quantizer" / "pq_build_parameters.json").write_text(
@@ -300,10 +312,11 @@ def serialize_sharded_quantized_hnsw(sq, path: Union[str, Path]) -> None:
         )
     )
     serialize_sharded_hnsw(sq.sharded, path / "sharded")
-    _write_array(path / "full", full, "float32")
+    if not out_of_core:
+        _write_array(path / "full", full, "float32")
 
 
-def deserialize_sharded_quantized_hnsw(path: Union[str, Path], mesh):
+def deserialize_sharded_quantized_hnsw(path: Union[str, Path], mesh, full_source=None):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from parallel_hnsw_tpu.params import pq_build_params_from_dict
@@ -320,6 +333,19 @@ def deserialize_sharded_quantized_hnsw(path: Union[str, Path], mesh):
         centroid_hnsw, qmeta["nsub"], pq_build_params_from_dict(qmeta["pq_params"])
     )
     sharded = deserialize_sharded_hnsw(path / "sharded", mesh)
+    if meta.get("out_of_core"):
+        from parallel_hnsw_tpu.graph import open_memmap_source
+
+        if full_source is None:
+            hint = meta.get("full_path")
+            if not hint or not Path(hint).exists():
+                raise SerializationError(
+                    "out-of-core index: pass full_source= (the vector store "
+                    "is external, like the reference's comparator — "
+                    "src/serialize.rs:143-146)"
+                )
+            full_source = open_memmap_source(hint, meta["full_dim"])
+        return ShardedQuantizedHnsw(quantizer, sharded, full_host=full_source)
     full = _read_array(path / "full", "float32", tuple(meta["full_shape"]))
     full_stacked = jax.device_put(
         jnp.asarray(full), NamedSharding(mesh, P(sharded.axis, None, None))

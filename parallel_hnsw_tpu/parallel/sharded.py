@@ -158,22 +158,49 @@ class ShardedHnsw:
         (seed + shard) regardless of scheduling.  Ragged shards are padded by
         repeating the last row; padding rows get EMPTY global ids and are
         masked from results."""
-        bp = bp or BuildParams()
         n_shards = mesh.devices.size
         count = source.count
         per = -(-count // n_shards)  # ceil
 
         shard_gids = np.full((n_shards, per), EMPTY_ID, np.int32)
+        shard_sources: List[Source] = [None] * n_shards
+        for s in range(n_shards):
+            ids = np.arange(s, count, n_shards)
+            real = len(ids)
+            if per - real:
+                ids = np.concatenate([ids, np.repeat(ids[-1:], per - real)])
+            shard_gids[s, :real] = ids[:real]
+            shard_sources[s] = _take_rows_source(source, ids)
+        return cls.from_shard_sources(
+            shard_sources, shard_gids, mesh, bp, metric, seed=seed,
+            improve=improve, verbose=verbose, parallel_build=parallel_build,
+        )
+
+    @classmethod
+    def from_shard_sources(
+        cls,
+        shard_sources: Sequence[Source],
+        shard_gids: np.ndarray,  # [S, per] global ids, EMPTY_ID on padding
+        mesh: Mesh,
+        bp: Optional[BuildParams] = None,
+        metric: Metric = Metric.COSINE,
+        seed: int = 0,
+        improve: bool = True,
+        verbose: bool = False,
+        parallel_build: bool = True,
+    ) -> "ShardedHnsw":
+        """Build one HNSW per pre-partitioned shard source, each on its own
+        mesh device, then stack + place.  The seam that lets out-of-core
+        ingestion quantize/partition shard rows itself (streaming from disk)
+        and hand device-resident per-shard sources straight to the builder."""
+        bp = bp or BuildParams()
+        n_shards = mesh.devices.size
+        assert len(shard_sources) == n_shards
         devices = list(mesh.devices.flat)
 
         def build_one(s: int) -> Tuple[Source, Hnsw]:
-            ids = np.arange(s, count, n_shards)
-            pad = per - len(ids)
-            real = len(ids)
-            if pad:
-                ids = np.concatenate([ids, np.repeat(ids[-1:], pad)])
-            shard_gids[s, :real] = ids[:real]
-            sub_source = _take_rows_source(source, ids)
+            sub_source = shard_sources[s]
+            real = int((shard_gids[s] != EMPTY_ID).sum())
             # local vector ids are 0..per (padding rows are duplicates of the
             # last real vector: harmless graph members, masked at query time)
             local_ids = jnp.arange(real, dtype=ID_DTYPE)
@@ -586,23 +613,36 @@ class ShardedQuantizedHnsw:
     exact-reranks *inside* the shard (reference: QuantizedHnsw::search rerank,
     src/pq.rs:346-364 — here the rerank happens before the ICI merge so full
     vectors never cross chips), and merges top-k across shards.
+
+    Out-of-core mode (``full_source`` a :class:`MemmapSource`): full-precision
+    vectors stay ON DISK — the reference's streaming ``VectorSelector`` /
+    ``VectorStore`` seam (src/pq.rs:133-142, used at :325-334) taken to its
+    conclusion.  Each shard quantizes its own rows in streamed chunks on its
+    own device (only codes persist in HBM, 1/(2*dsub)th the f32 bytes at u16),
+    search merges *code-exact* top-(oversample*k) over ICI, and the final
+    exact rerank gathers just ``[Q, oversample*k]`` rows from the memmap.  At
+    BASELINE config 5 (100M x 768-d f32 = 307 GB) the resident footprint is
+    codes only: 100M x 96 u16 = 19.2 GB across the mesh.
     """
 
     def __init__(
         self,
         quantizer,
         sharded: ShardedHnsw,
-        full_stacked: jax.Array,  # [S, N, D]
+        full_stacked: Optional[jax.Array] = None,  # [S, N, D] (in-core mode)
+        full_host: Optional[Source] = None,  # MemmapSource (out-of-core mode)
     ):
+        assert (full_stacked is None) != (full_host is None)
         self.quantizer = quantizer
         self.sharded = sharded
         self.full_stacked = full_stacked
+        self.full_host = full_host
 
     @classmethod
     def new(
         cls,
         number_of_centroids: int,
-        full_source: DenseSource,
+        full_source: Source,
         dsub: int,
         metric: Metric,
         mesh: Mesh,
@@ -610,10 +650,12 @@ class ShardedQuantizedHnsw:
         seed: int = 0,
         use_kmeans: bool = False,
         exact_quantize: bool = False,
+        fast_quantize: bool = False,
         chunk_size: int = 100_000,
         improve: bool = True,
         verbose: bool = False,
     ) -> "ShardedQuantizedHnsw":
+        from parallel_hnsw_tpu.graph import is_host_source
         from parallel_hnsw_tpu.params import PqBuildParams
         from parallel_hnsw_tpu.pq import (
             HnswQuantizer,
@@ -625,21 +667,95 @@ class ShardedQuantizedHnsw:
         dim = full_source.dim
         assert dim % dsub == 0
         nsub = dim // dsub
+        out_of_core = is_host_source(full_source)
 
         picker = kmeans_centroids if use_kmeans else random_centroids
-        centroids = picker(full_source.vectors, number_of_centroids, dsub, seed=seed)
+        kw = {"sample": 4_000_000} if use_kmeans and out_of_core else {}
+        centroids = picker(
+            full_source.vectors, number_of_centroids, dsub, seed=seed, **kw
+        )
         centroid_source = DenseSource(vectors=jnp.asarray(centroids))
         centroid_hnsw = Hnsw.generate(
             centroid_source, None, pqp.centroids, metric, seed=seed, verbose=verbose
         )
         centroid_hnsw.improve_index(pqp.centroids)
         quantizer = HnswQuantizer(centroid_hnsw, nsub, pqp)
+        code_dtype = jnp.uint16 if len(centroids) <= 65536 else jnp.int32
+
+        n_shards = mesh.devices.size
+        count = full_source.count
+        per = -(-count // n_shards)
+        devices = list(mesh.devices.flat)
+
+        if out_of_core:
+            # Round-robin partition FIRST; each shard streams its own rows
+            # from disk and quantizes them on its own device against a
+            # per-device codebook replica — the f32 corpus never exists in
+            # HBM or host RAM as a whole.
+            shard_gids = np.full((n_shards, per), EMPTY_ID, np.int32)
+            shard_sources: List[Source] = [None] * n_shards
+
+            def quantize_shard(s: int) -> None:
+                ids = np.arange(s, count, n_shards)
+                real = len(ids)
+                if per - real:
+                    ids = np.concatenate([ids, np.repeat(ids[-1:], per - real)])
+                shard_gids[s, :real] = ids[:real]
+                dev = devices[s]
+                cb = jax.device_put(centroid_source.vectors, dev)
+                chunks = []
+                with jax.default_device(dev):
+                    for chunk in full_source.chunks(chunk_size, ids=ids):
+                        subs = jnp.asarray(chunk).reshape(-1, dsub)
+                        if fast_quantize:
+                            from parallel_hnsw_tpu.pq import quantize_binned
+
+                            c = quantize_binned(subs, cb, metric)
+                        elif exact_quantize:
+                            from parallel_hnsw_tpu.analysis import (
+                                blocked_topk_pairwise,
+                            )
+
+                            ids_c, _ = blocked_topk_pairwise(
+                                subs, cb, metric, 1, row_block=8192
+                            )
+                            c = ids_c[:, 0]
+                        else:
+                            # graph-path quantize runs on the centroid
+                            # graph's own device (it is not replicated)
+                            c = quantizer.quantize(jnp.asarray(chunk)).reshape(-1)
+                        c = c.reshape(len(chunk), nsub)
+                        chunks.append(np.asarray(c.astype(code_dtype)))
+                # codes stay as host arrays: the per-shard graph build (and
+                # the final place()) converts them under the shard's own
+                # default_device, so nothing gets committed to device 0
+                shard_sources[s] = PqSource(
+                    codes=np.concatenate(chunks), codebook=cb
+                )
+
+            if n_shards > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                quantize_shard(0)  # warm the jitted programs once
+                with ThreadPoolExecutor(
+                    max_workers=_build_threads(n_shards - 1)
+                ) as ex:
+                    list(ex.map(quantize_shard, range(1, n_shards)))
+            else:
+                quantize_shard(0)
+
+            sharded = ShardedHnsw.from_shard_sources(
+                shard_sources, shard_gids, mesh, pqp.hnsw, metric, seed=seed,
+                improve=improve, verbose=verbose,
+            )
+            return cls(quantizer, sharded, full_host=full_source)
 
         codes = []
-        for start in range(0, full_source.count, chunk_size):
+        for start in range(0, count, chunk_size):
             chunk = full_source.vectors[start : start + chunk_size]
-            codes.append(quantizer.quantize(chunk, exact=exact_quantize))
-        code_dtype = jnp.uint16 if len(centroids) <= 65536 else jnp.int32
+            codes.append(
+                quantizer.quantize(chunk, exact=exact_quantize, fast=fast_quantize)
+            )
         pq_source = PqSource(
             codes=jnp.concatenate(codes).astype(code_dtype),
             codebook=jnp.asarray(centroids),
@@ -651,9 +767,6 @@ class ShardedQuantizedHnsw:
         )
         # stack the full-precision vectors shard-major with the same
         # round-robin partition + last-row padding as ShardedHnsw.generate
-        n_shards = mesh.devices.size
-        count = full_source.count
-        per = -(-count // n_shards)
         vecs = np.asarray(full_source.vectors)
         full = np.zeros((n_shards, per, dim), np.float32)
         for s in range(n_shards):
@@ -679,6 +792,12 @@ class ShardedQuantizedHnsw:
         sp = sp or sh.build_parameters.optimization.search
         qcodes = self.quantizer.quantize(queries, exact=exact_quantize)
         qrecon = self.quantizer.reconstruct(qcodes)
+        if self.full_stacked is None:
+            # out-of-core: merge code-exact candidates over ICI, then one
+            # host-side exact rerank gathers [Q, oversample*k] rows from disk
+            ids, _dists = sh.search(qrecon, sp, k=oversample * k)
+            ids, dists = self._host_rerank(queries, ids)
+            return ids[:, :k], dists[:, :k]
         flat = []
         for l in sh.layers_stacked:
             flat.extend([l.nodes, l.neighbors])
@@ -697,6 +816,26 @@ class ShardedQuantizedHnsw:
             k,
             oversample,
         )
+
+    def search_exact(
+        self,
+        queries: jax.Array,
+        k: int = 10,
+        oversample: int = 4,
+        fast: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Flat scan over every shard's codes + exact rerank of the merged
+        survivors (out-of-core mode: rows gathered from the memmap)."""
+        sh = self.sharded
+        ids, dists = sh.search_exact(queries, k=oversample * k, fast=fast)
+        if self.full_stacked is None:
+            ids, dists = self._host_rerank(queries, ids)
+        return ids[:, :k], dists[:, :k]
+
+    def _host_rerank(self, queries, ids):
+        from parallel_hnsw_tpu.routing import exact_rerank
+
+        return exact_rerank(self.full_host, self.sharded.metric, queries, ids)
 
     def stochastic_recall(self, op: Optional[OptimizationParams] = None, seed: int = 42) -> float:
         return self.sharded.stochastic_recall(op, seed)

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from parallel_hnsw_tpu.constants import EMPTY_ID, ID_DTYPE
-from parallel_hnsw_tpu.graph import DenseSource, PqSource, reconstruct
+from parallel_hnsw_tpu.graph import (
+    DenseSource,
+    MemmapSource,
+    PqSource,
+    reconstruct,
+)
 from parallel_hnsw_tpu.index import Hnsw
 from parallel_hnsw_tpu.ops.distance import Metric, pairwise_distance
 from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
@@ -84,13 +89,22 @@ def random_centroids(
     Everything runs on device: the host path (read back the corpus,
     ``np.unique(axis=0)``, shuffle) cost ~25 minutes at the 65,535-centroid
     config on this 1-core host + tunnel; here only the final ``[K, dsub]``
-    slab is read back.  Dedup is ``_hash_sort_dedup``."""
-    vectors = jnp.asarray(vectors)
+    slab is read back.  Dedup is ``_hash_sort_dedup``.
+
+    Host arrays (``np.memmap`` out-of-core corpora) are sampled host-side:
+    only the ``[sample, dim]`` slab crosses to the device, never the corpus."""
     count, dim = vectors.shape
     assert dim % dsub == 0
     rng = np.random.default_rng(seed)
     sel = rng.permutation(count)[: min(n_centroids, count)]
-    subs = jnp.take(vectors, jnp.asarray(sel, jnp.int32), axis=0).reshape(-1, dsub)
+    if isinstance(vectors, (np.ndarray, np.memmap)):
+        sel.sort()  # sequential-ish memmap reads
+        subs = jnp.asarray(np.asarray(vectors[sel]), jnp.float32).reshape(-1, dsub)
+    else:
+        vectors = jnp.asarray(vectors)
+        subs = jnp.take(vectors, jnp.asarray(sel, jnp.int32), axis=0).reshape(
+            -1, dsub
+        )
     key = jax.random.PRNGKey(seed)
     s, dup = _hash_sort_dedup(subs, key)
     # random shuffle with duplicates sunk to the tail, then truncate: the
@@ -129,11 +143,21 @@ def kmeans_centroids(
 ) -> np.ndarray:
     """Lloyd's k-means over sub-vectors on the MXU (the reference's latent
     linfa path: 1 run, <=5 iterations, seed 42; src/pq.rs:215-259)."""
-    vecs = np.asarray(vectors)
+    if isinstance(vectors, (np.ndarray, np.memmap)):
+        vecs = vectors  # memmap stays on disk; reshape is a view
+    else:
+        vecs = np.asarray(vectors)
     subs = vecs.reshape(-1, dsub)
     if sample is not None and sample < len(subs):
         rng = np.random.default_rng(seed)
-        subs = subs[rng.permutation(len(subs))[:sample]]
+        if len(subs) > 50_000_000:
+            # out-of-core scale: a full permutation array would itself be
+            # tens of GB; sample with replacement instead (collision odds
+            # are negligible at these ratios)
+            sel = np.sort(rng.integers(0, len(subs), sample))
+        else:
+            sel = rng.permutation(len(subs))[:sample]
+        subs = np.asarray(subs[sel])
     k = min(n_centroids, len(subs))
     rng = np.random.default_rng(seed)
     init = subs[rng.permutation(len(subs))[:k]]
@@ -313,11 +337,17 @@ class QuantizedHnsw:
         self.full_source = full_source
 
     # constructor (reference: QuantizedHnsw::new, src/pq.rs:287-344)
+    #
+    # ``full_source`` may be a DenseSource (HBM-resident) or a MemmapSource
+    # (out-of-core): centroid sampling, the streamed chunk quantization below,
+    # and the exact rerank all read host chunks/rows without ever
+    # materializing the f32 corpus on device (the reference's
+    # VectorSelector/VectorStore streaming seam, src/pq.rs:133-142,325-334).
     @classmethod
     def new(
         cls,
         number_of_centroids: int,
-        full_source: DenseSource,
+        full_source: "DenseSource | MemmapSource",
         dsub: int,
         metric: Metric,
         pqp: Optional[PqBuildParams] = None,

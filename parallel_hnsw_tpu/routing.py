@@ -129,19 +129,36 @@ def exact_rerank(
     contract: src/pq.rs:354-363).  Blocked over queries so the gathered
     ``[qb, ef, width]`` block honors the lane-padded memory budget.
     """
+    from parallel_hnsw_tpu.graph import is_host_source, source_get
+
     ef = ids.shape[1]
     width = source_effective_width(source)
     qb = max(16, block_budget // max(1, ef * width * 4))
+    host = is_host_source(source)
     out_i, out_d = [], []
     for qs in range(0, queries.shape[0], qb):
         q = queries[qs : qs + qb]
         block_ids = ids[qs : qs + qb]
-        r_ids, r_d = _rerank_block_jit(source, Metric(metric), q, block_ids)
+        if host:
+            # out-of-core: gather candidate rows on host (memmap fancy index)
+            # and ship only the [qb, ef, D] block — the full corpus never
+            # touches the device (reference seam: src/pq.rs:133-142)
+            cand = source_get(source, block_ids)
+            r_ids, r_d = _rerank_gathered_jit(Metric(metric), q, block_ids, cand)
+        else:
+            r_ids, r_d = _rerank_block_jit(source, Metric(metric), q, block_ids)
         out_i.append(r_ids)
         out_d.append(r_d)
     if len(out_i) == 1:
         return out_i[0], out_d[0]
     return jnp.concatenate(out_i), jnp.concatenate(out_d)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _rerank_gathered_jit(metric: Metric, queries, ids, cand):
+    d = batched_distance(queries, cand, metric)
+    d = jnp.where(ids == EMPTY_ID, jnp.inf, d)
+    return sort_queue(ids, d)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))

@@ -34,7 +34,11 @@ def timeit(fn, reps=3):
     for _ in range(reps):
         t0 = time.time()
         out = fn()
-        _ = float(np.asarray(out[0]).ravel()[-1])  # host readback sync
+        # completion sync via a ONE-element readback: slice on device first.
+        # (np.asarray(out[0]) read the whole [Q, classes] slab back over the
+        # tunnel — ~1 GB at 1M rows, 100x the kernel time — which made the
+        # first scan_r3 session's raw-kernel rows readback-dominated garbage.)
+        _ = float(np.asarray(out[0][-1:, -1:]))
         best = min(best, time.time() - t0)
     return best
 
@@ -79,8 +83,10 @@ def sweep(q=2048, n=1_048_576, d=128):
                 continue
             run(
                 f"kernel tq={tile_q} tc={tile_c}",
-                lambda tq=tile_q, tc=tile_c: pallas_binned_scan(
-                    qj, cj, M, tile_q=tq, tile_c=tc
+                jax.jit(
+                    lambda tq=tile_q, tc=tile_c: pallas_binned_scan(
+                        qj, cj, M, tile_q=tq, tile_c=tc
+                    )
                 ),
             )
     for tile_q in (256, 512):
@@ -88,8 +94,10 @@ def sweep(q=2048, n=1_048_576, d=128):
             for n_slots in (16, 32):
                 run(
                     f"folded tq={tile_q} tc={tile_c} ns={n_slots}",
-                    lambda tq=tile_q, tc=tile_c, ns=n_slots: pallas_folded_scan(
-                        qj, cj, M, tile_q=tq, tile_c=tc, n_slots=ns
+                    jax.jit(
+                        lambda tq=tile_q, tc=tile_c, ns=n_slots: pallas_folded_scan(
+                            qj, cj, M, tile_q=tq, tile_c=tc, n_slots=ns
+                        )
                     ),
                 )
 
@@ -112,8 +120,9 @@ def main(q=2048):
 
         # kernel alone (bf16 fast mode, as the engines call it)
         cj = src.vectors
-        binned_scan(qj, cj, M, tile_c=4096)  # compile
-        dt = timeit(lambda: binned_scan(qj, cj, M, tile_c=4096))
+        kfn = jax.jit(lambda q: binned_scan(q, cj, M, tile_c=4096))
+        kfn(qj)  # compile
+        dt = timeit(lambda: kfn(qj))
         flops = 2.0 * q * n * d
         print(
             json.dumps(
