@@ -316,6 +316,20 @@ def main() -> None:
             else:
                 index.disable_hop_slabs()
 
+    # Repeat protocol (round-4 gate captures differed by 40% between
+    # sessions): re-measure the selected operating point a second time and
+    # report the MIN with the observed spread, so the recorded number is the
+    # conservative end of the session's own variance.
+    spread_pct = None
+    if args.mode == "dense" and not args.fixed_op:
+        r2, q2 = measure(lambda qq: index.search(qq, sp, query_block=args.query_block))
+        if r2 >= args.recall_floor or r2 >= recall_at_10:
+            spread_pct = round(100.0 * abs(qps - q2) / max(qps, q2), 1)
+            print(f"# repeat measure: qps={q2:.0f} (first {qps:.0f}, "
+                  f"spread {spread_pct}%)", file=sys.stderr)
+            if q2 < qps:
+                recall_at_10, qps = r2, q2
+
     build_note = (
         "no build" if build_s != build_s else f"{build_s:.1f}s ({build_rate:.0f} vec/s)"
     )
@@ -340,6 +354,11 @@ def main() -> None:
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / REF_SINGLE_CORE_QPS, 2),
+                **(
+                    {"repeat_spread_pct": spread_pct}
+                    if spread_pct is not None
+                    else {}
+                ),
             }
         )
     )

@@ -34,7 +34,7 @@ from parallel_hnsw_tpu.params import (
     PqBuildParams,
     SearchParams,
 )
-from parallel_hnsw_tpu.pq import HnswQuantizer, QuantizedHnsw
+from parallel_hnsw_tpu.pq import HnswQuantizer, QuantizedHnsw, SubspaceQuantizer
 from parallel_hnsw_tpu.progress import CallbackProgressMonitor, Interrupt, ProgressMonitor
 
 __version__ = "0.2.0"
@@ -57,4 +57,5 @@ __all__ = [
     "Interrupt",
     "QuantizedHnsw",
     "HnswQuantizer",
+    "SubspaceQuantizer",
 ]

@@ -44,6 +44,20 @@ def brute_force_knn(
     return blocked_topk_pairwise(queries, vecs, metric, k, row_block=query_block)
 
 
+def select_scan_mode(n: int) -> str:
+    """Measured scan-engine frontier for ``fast_flat_knn(scan_mode="auto")``.
+
+    Exhaustive below 200k rows (cheap, exact-id parity); binned kernel in
+    [200k, 2M); folded kernel at >= 2M, where it beats binned 1.26-1.28x on
+    chip (BENCH_NOTES "Flat-scan kernel scaling 1M-8M").
+    """
+    if n >= 2_000_000:
+        return "folded"
+    if n >= 200_000:
+        return "binned"
+    return "exhaustive"
+
+
 def fast_flat_knn(
     source: Source,
     queries: jax.Array,
@@ -70,8 +84,10 @@ def fast_flat_knn(
     scale); cited for contrast with `benches/bench.rs:54-63`'s graph-only
     workload.
 
-    ``scan_mode``: "auto" (binned kernel at/above 200k rows, exhaustive
-    below), or force "exhaustive" / "binned" / "folded".  "folded" uses the
+    ``scan_mode``: "auto" follows the measured frontier — exhaustive below
+    200k rows, the binned kernel in [200k, 2M), the folded kernel at >= 2M
+    (it wins 1.26-1.28x there; see BENCH_NOTES "Flat-scan kernel scaling").
+    Or force "exhaustive" / "binned" / "folded".  "folded" uses the
     accumulating kernel — the cross-tile min folds inside the kernel and
     the top-k input is a fixed ``[Q, n_slots*128]`` slab, so the whole
     corpus is one scan block.
@@ -132,11 +148,12 @@ def fast_flat_knn(
     # distance matrix.  The XLA fallback DOES materialize [qb, chunk], so
     # off-TPU the chunk keeps the unreduced bound.
     # binned mode needs enough congruence classes to keep collision losses
-    # negligible; under ~200k rows the exhaustive bf16 scan is cheap anyway
-    if scan_mode == "auto":
-        mode = "binned" if n >= 200_000 else "exhaustive"
-    else:
-        mode = scan_mode
+    # negligible; under ~200k rows the exhaustive bf16 scan is cheap anyway.
+    # At >= 2M rows the folded kernel wins (measured 1.26-1.28x over binned
+    # at 2M/4M/8M x 128 — BENCH_NOTES "Flat-scan kernel scaling"): past ~2M
+    # the binned [Q, bins] intermediate dominates HBM writeback, exactly the
+    # traffic the in-kernel fold removes.
+    mode = select_scan_mode(n) if scan_mode == "auto" else scan_mode
     binned = mode == "binned"
     on_tpu = jax.default_backend() in ("tpu", "axon")
     reduction = (tile_c // LANES) if (on_tpu and binned) else 1

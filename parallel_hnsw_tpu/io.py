@@ -178,6 +178,52 @@ def deserialize_hnsw(
 # -- quantized hnsw (reference: src/pq.rs:413-477) ---------------------------
 
 
+def _serialize_quantizer(quantizer, path: Path) -> None:
+    """Persist either quantizer kind under ``quantizer/``.
+
+    HnswQuantizer (the reference's shared-codebook design, src/pq.rs:29-82)
+    serializes its centroid graph like the reference does
+    (src/pq.rs:433-441); a SubspaceQuantizer has no graph — its
+    ``[nsub, K, dsub]`` codebooks dump raw with a ``quantizer_kind`` tag."""
+    from parallel_hnsw_tpu.pq import SubspaceQuantizer
+
+    path = Path(path)
+    if isinstance(quantizer, SubspaceQuantizer):
+        path.mkdir(parents=True, exist_ok=True)
+        books = np.asarray(quantizer.codebooks, np.float32)
+        _write_array(path / "codebooks", books, "float32")
+        (path / "pq_build_parameters.json").write_text(
+            json.dumps(
+                {
+                    "quantizer_kind": "subspace",
+                    "codebooks_shape": list(books.shape),
+                    "metric": quantizer.metric.value,
+                    "pq_params": params_to_dict(quantizer.pq_params),
+                }
+            )
+        )
+        return
+    serialize_hnsw(quantizer.hnsw, path)
+    (path / "pq_build_parameters.json").write_text(
+        json.dumps({"nsub": quantizer.nsub, "pq_params": params_to_dict(quantizer.pq_params)})
+    )
+
+
+def _deserialize_quantizer(path: Path):
+    from parallel_hnsw_tpu.params import pq_build_params_from_dict
+    from parallel_hnsw_tpu.pq import HnswQuantizer, SubspaceQuantizer
+
+    path = Path(path)
+    qmeta = json.loads((path / "pq_build_parameters.json").read_text())
+    pqp = pq_build_params_from_dict(qmeta["pq_params"])
+    if qmeta.get("quantizer_kind") == "subspace":
+        books = _read_array(
+            path / "codebooks", "float32", tuple(qmeta["codebooks_shape"])
+        )
+        return SubspaceQuantizer(jnp.asarray(books), Metric(qmeta["metric"]), pqp)
+    return HnswQuantizer(deserialize_hnsw(path), qmeta["nsub"], pqp)
+
+
 def serialize_quantized_hnsw(q, path: Union[str, Path]) -> None:
     """Nested layout: quantizer/, hnsw/, comparator/ (reference:
     src/pq.rs:433-452) plus pq meta."""
@@ -186,24 +232,16 @@ def serialize_quantized_hnsw(q, path: Union[str, Path]) -> None:
     assert isinstance(q, QuantizedHnsw)
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    serialize_hnsw(q.quantizer.hnsw, path / "quantizer")
-    (path / "quantizer" / "pq_build_parameters.json").write_text(
-        json.dumps({"nsub": q.quantizer.nsub, "pq_params": params_to_dict(q.quantizer.pq_params)})
-    )
+    _serialize_quantizer(q.quantizer, path / "quantizer")
     serialize_hnsw(q.hnsw, path / "hnsw")
     serialize_source(q.full_source, path / "comparator")
 
 
 def deserialize_quantized_hnsw(path: Union[str, Path]):
-    from parallel_hnsw_tpu.params import pq_build_params_from_dict
-    from parallel_hnsw_tpu.pq import HnswQuantizer, QuantizedHnsw
+    from parallel_hnsw_tpu.pq import QuantizedHnsw
 
     path = Path(path)
-    centroid_hnsw = deserialize_hnsw(path / "quantizer")
-    qmeta = json.loads((path / "quantizer" / "pq_build_parameters.json").read_text())
-    quantizer = HnswQuantizer(
-        centroid_hnsw, qmeta["nsub"], pq_build_params_from_dict(qmeta["pq_params"])
-    )
+    quantizer = _deserialize_quantizer(path / "quantizer")
     hnsw = deserialize_hnsw(path / "hnsw")
     full_source = deserialize_source(path / "comparator")
     return QuantizedHnsw(quantizer, hnsw, full_source)
@@ -305,12 +343,7 @@ def serialize_sharded_quantized_hnsw(sq, path: Union[str, Path]) -> None:
         full = np.asarray(sq.full_stacked, np.float32)
         meta["full_shape"] = list(full.shape)
     (path / "meta").write_text(json.dumps(meta))
-    serialize_hnsw(sq.quantizer.hnsw, path / "quantizer")
-    (path / "quantizer" / "pq_build_parameters.json").write_text(
-        json.dumps(
-            {"nsub": sq.quantizer.nsub, "pq_params": params_to_dict(sq.quantizer.pq_params)}
-        )
-    )
+    _serialize_quantizer(sq.quantizer, path / "quantizer")
     serialize_sharded_hnsw(sq.sharded, path / "sharded")
     if not out_of_core:
         _write_array(path / "full", full, "float32")
@@ -319,19 +352,13 @@ def serialize_sharded_quantized_hnsw(sq, path: Union[str, Path]) -> None:
 def deserialize_sharded_quantized_hnsw(path: Union[str, Path], mesh, full_source=None):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from parallel_hnsw_tpu.params import pq_build_params_from_dict
     from parallel_hnsw_tpu.parallel.sharded import ShardedQuantizedHnsw
-    from parallel_hnsw_tpu.pq import HnswQuantizer
 
     path = Path(path)
     meta = json.loads((path / "meta").read_text())
     if meta.get("kind") != "sharded_quantized_hnsw":
         raise SerializationError(f"not a sharded PQ index: {path}")
-    centroid_hnsw = deserialize_hnsw(path / "quantizer")
-    qmeta = json.loads((path / "quantizer" / "pq_build_parameters.json").read_text())
-    quantizer = HnswQuantizer(
-        centroid_hnsw, qmeta["nsub"], pq_build_params_from_dict(qmeta["pq_params"])
-    )
+    quantizer = _deserialize_quantizer(path / "quantizer")
     sharded = deserialize_sharded_hnsw(path / "sharded", mesh)
     if meta.get("out_of_core"):
         from parallel_hnsw_tpu.graph import open_memmap_source

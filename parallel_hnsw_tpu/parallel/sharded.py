@@ -696,6 +696,8 @@ class ShardedQuantizedHnsw:
             shard_sources: List[Source] = [None] * n_shards
 
             def quantize_shard(s: int) -> None:
+                from parallel_hnsw_tpu.utils.trace import TRACER
+
                 ids = np.arange(s, count, n_shards)
                 real = len(ids)
                 if per - real:
@@ -704,7 +706,10 @@ class ShardedQuantizedHnsw:
                 dev = devices[s]
                 cb = jax.device_put(centroid_source.vectors, dev)
                 chunks = []
-                with jax.default_device(dev):
+                with TRACER.span(
+                    "ooc_ingest_shard", rows=real,
+                    bytes=real * dim * full_source.vectors.itemsize,
+                ), jax.default_device(dev):
                     for chunk in full_source.chunks(chunk_size, ids=ids):
                         subs = jnp.asarray(chunk).reshape(-1, dsub)
                         if fast_quantize:
@@ -824,13 +829,31 @@ class ShardedQuantizedHnsw:
         oversample: int = 4,
         fast: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Flat scan over every shard's codes + exact rerank of the merged
-        survivors (out-of-core mode: rows gathered from the memmap)."""
+        """Flat scan over every shard's codes + exact full-precision rerank.
+
+        In-core: each shard reranks its oversampled code-scan survivors
+        against its resident f32 vectors BEFORE the ICI merge
+        (``_sharded_pq_exact_jit``); out-of-core: code-exact candidates merge
+        over ICI first, then one host rerank gathers rows from the memmap.
+        Both paths return true f32 distances (reference rerank contract:
+        src/pq.rs:346-364)."""
         sh = self.sharded
-        ids, dists = sh.search_exact(queries, k=oversample * k, fast=fast)
         if self.full_stacked is None:
+            ids, dists = sh.search_exact(queries, k=oversample * k, fast=fast)
             ids, dists = self._host_rerank(queries, ids)
-        return ids[:, :k], dists[:, :k]
+            return ids[:, :k], dists[:, :k]
+        return _sharded_pq_exact_jit(
+            sh.mesh,
+            sh.axis,
+            sh.source_stacked,
+            self.full_stacked,
+            sh.global_ids,
+            queries,
+            sh.metric,
+            k,
+            fast,
+            oversample,
+        )
 
     def _host_rerank(self, queries, ids):
         from parallel_hnsw_tpu.routing import exact_rerank
@@ -842,6 +865,117 @@ class ShardedQuantizedHnsw:
 
     def improve_index(self, bp: Optional[BuildParams] = None) -> float:
         return self.sharded.improve_index(bp)
+
+
+def _shard_flat_scan(local, queries, metric, k_scan, fast):
+    """One shard's blocked flat scan over its local source.  Returns
+    ``(best_i, best_d)`` — local row ids + scan-precision distances, width
+    ``k_scan``.  Shared by the dense and PQ sharded exact-scan kernels."""
+    from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
+    from parallel_hnsw_tpu.ops.pallas_scan import binned_scan
+
+    n_s = local.count
+    binned = fast and n_s >= 200_000
+    blk = 1 << 19
+    all_local = jnp.arange(n_s)
+    best_i = best_d = None
+    for cs in range(0, n_s, blk):
+        vecs = source_get(local, all_local[cs : cs + blk])
+        kk = min(k_scan, vecs.shape[0])
+        if binned:
+            bd, bc = binned_scan(queries, vecs, metric, tile_c=4096, exact=False)
+            dd, pos = jax.lax.approx_min_k(bd, kk)
+            idx = jnp.take_along_axis(bc, pos, axis=-1) + cs
+            idx = jnp.where(jnp.isfinite(dd), idx, EMPTY_ID).astype(ID_DTYPE)
+        elif fast:
+            d = best_pairwise_distance(queries, vecs, metric, exact=False)
+            dd, idx = jax.lax.approx_min_k(d, kk)
+            idx = (idx + cs).astype(ID_DTYPE)
+        else:
+            d = best_pairwise_distance(queries, vecs, metric)
+            neg_d, idx = jax.lax.top_k(-d, kk)
+            dd = -neg_d
+            idx = (idx + cs).astype(ID_DTYPE)
+        if best_i is None:
+            best_i, best_d = idx, dd
+        else:
+            ci = jnp.concatenate([best_i, idx], axis=-1)
+            cd = jnp.concatenate([best_d, dd], axis=-1)
+            cd, ci = jax.lax.sort((cd, ci), num_keys=2)
+            best_i, best_d = ci[:, :k_scan], cd[:, :k_scan]
+    return best_i, best_d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "metric", "k", "fast", "oversample"),
+)
+def _sharded_pq_exact_jit(
+    mesh: Mesh,
+    axis: str,
+    source_stacked: Source,  # PQ codes per shard + replicated codebook
+    full_stacked: jax.Array,  # [S, N, D] full-precision shard vectors
+    global_ids: jax.Array,
+    queries: jax.Array,
+    metric: Metric,
+    k: int,
+    fast: bool,
+    oversample: int,
+):
+    """In-core PQ-sharded exact scan: each shard flat-scans its CODES, then
+    exact-reranks the oversampled survivors against its resident
+    full-precision vectors BEFORE the ICI merge — so the merged queue carries
+    true f32 distances, matching :meth:`QuantizedHnsw.search_exact`'s rerank
+    contract (reference: src/pq.rs:346-364) and the out-of-core path's
+    disk-gather rerank.  Full vectors never cross chips."""
+    ax = axis
+
+    def per_shard(source_stacked, full_stacked, global_ids, queries):
+        from parallel_hnsw_tpu.ops.distance import batched_distance
+        from parallel_hnsw_tpu.ops.queues import dedup_sorted
+
+        local = _unstack_source(source_stacked)
+        full = full_stacked[0]  # [N, D]
+        gids = global_ids[0]
+        n_s = local.count
+        k_scan = min(k * oversample, n_s)
+        best_i, _ = _shard_flat_scan(local, queries, metric, k_scan, fast)
+        # in-shard exact rerank against FULL-PRECISION vectors (not codes)
+        safe = jnp.clip(best_i, 0, full.shape[0] - 1)
+        cand = jnp.take(full, safe, axis=0)  # [Q, k_scan, D]
+        d = batched_distance(queries, cand, metric)
+        d = jnp.where(best_i == EMPTY_ID, EMPTY_DIST, d)
+        d, best_i = jax.lax.sort((d, best_i), num_keys=2)
+        # local -> global ids (padding rows repeat real ids; dedup at merge)
+        safe = jnp.clip(best_i, 0, gids.shape[0] - 1)
+        g = jnp.where(best_i == EMPTY_ID, EMPTY_ID, jnp.take(gids, safe))
+        d = jnp.where(g == EMPTY_ID, EMPTY_DIST, d)
+        g, d = sort_queue(g, d)
+        g, d = g[:, :k], d[:, :k]
+        all_g = jax.lax.all_gather(g, ax)  # [S, Q, k]
+        all_d = jax.lax.all_gather(d, ax)
+        s_, q_, kk_ = all_g.shape
+        all_g = jnp.moveaxis(all_g, 0, 1).reshape(q_, s_ * kk_)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q_, s_ * kk_)
+        m_ids, m_d = sort_queue(all_g, all_d)
+        m_ids, m_d = dedup_sorted(m_ids, m_d)
+        return m_ids[:, :k], m_d[:, :k]
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            _source_specs(source_stacked, ax),
+            P(ax, None, None),
+            P(ax, None),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(source_stacked, full_stacked, global_ids, queries)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis", "metric", "k", "fast", "oversample"),
@@ -861,42 +995,13 @@ def _sharded_flat_jit(
 
     def per_shard(source_stacked, global_ids, queries):
         from parallel_hnsw_tpu.ops.distance import batched_distance
-        from parallel_hnsw_tpu.ops.pallas_distance import best_pairwise_distance
-        from parallel_hnsw_tpu.ops.pallas_scan import binned_scan
         from parallel_hnsw_tpu.ops.queues import dedup_sorted
 
         local = _unstack_source(source_stacked)
         gids = global_ids[0]
         n_s = local.count
         k_scan = min(k * oversample, n_s) if fast else min(k, n_s)
-        binned = fast and n_s >= 200_000
-        blk = 1 << 19
-        all_local = jnp.arange(n_s)
-        best_i = best_d = None
-        for cs in range(0, n_s, blk):
-            vecs = source_get(local, all_local[cs : cs + blk])
-            kk = min(k_scan, vecs.shape[0])
-            if binned:
-                bd, bc = binned_scan(queries, vecs, metric, tile_c=4096, exact=False)
-                dd, pos = jax.lax.approx_min_k(bd, kk)
-                idx = jnp.take_along_axis(bc, pos, axis=-1) + cs
-                idx = jnp.where(jnp.isfinite(dd), idx, EMPTY_ID).astype(ID_DTYPE)
-            elif fast:
-                d = best_pairwise_distance(queries, vecs, metric, exact=False)
-                dd, idx = jax.lax.approx_min_k(d, kk)
-                idx = (idx + cs).astype(ID_DTYPE)
-            else:
-                d = best_pairwise_distance(queries, vecs, metric)
-                neg_d, idx = jax.lax.top_k(-d, kk)
-                dd = -neg_d
-                idx = (idx + cs).astype(ID_DTYPE)
-            if best_i is None:
-                best_i, best_d = idx, dd
-            else:
-                ci = jnp.concatenate([best_i, idx], axis=-1)
-                cd = jnp.concatenate([best_d, dd], axis=-1)
-                cd, ci = jax.lax.sort((cd, ci), num_keys=2)
-                best_i, best_d = ci[:, :k_scan], cd[:, :k_scan]
+        best_i, best_d = _shard_flat_scan(local, queries, metric, k_scan, fast)
         if fast:
             # in-shard exact rerank of the oversampled survivors
             safe = jnp.clip(best_i, 0, n_s - 1)

@@ -133,6 +133,38 @@ def _kmeans_jit(data: jax.Array, init: jax.Array, k: int, iters: int):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(1, 2))
+def _kmeans_accumulate(data, sums, counts, assign, k: int):
+    sums = sums + jax.ops.segment_sum(data, assign, num_segments=k)
+    counts = counts + jax.ops.segment_sum(
+        jnp.ones((data.shape[0],), jnp.float32), assign, num_segments=k
+    )
+    return sums, counts
+
+
+def _kmeans_big(subs: jax.Array, init: jax.Array, k: int, iters: int,
+                block: int = 1 << 21) -> jax.Array:
+    """Lloyd's k-means at large K without the ``[N, K]`` distance matrix:
+    assignment via the fused binned-scan argmin (``quantize_binned`` — exact
+    rerank of per-class survivors), update via segment sums.  Makes
+    K=65,535 trainable (the ``[2M, 65535]`` f32 matrix the plain path would
+    materialize is 512 GB)."""
+    centroids = jnp.asarray(init, jnp.float32)
+    for _ in range(iters):
+        sums = jnp.zeros((k, subs.shape[1]), jnp.float32)
+        counts = jnp.zeros((k,), jnp.float32)
+        for start in range(0, subs.shape[0], block):
+            chunk = subs[start : start + block]
+            assign = quantize_binned(
+                chunk, centroids, Metric.SQUARED_EUCLIDEAN, block=block
+            )
+            sums, counts = _kmeans_accumulate(chunk, sums, counts, assign, k)
+        centroids = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts, 1)[:, None], centroids
+        )
+    return centroids
+
+
 def kmeans_centroids(
     vectors: jax.Array,
     n_centroids: int,
@@ -142,12 +174,15 @@ def kmeans_centroids(
     sample: Optional[int] = None,
 ) -> np.ndarray:
     """Lloyd's k-means over sub-vectors on the MXU (the reference's latent
-    linfa path: 1 run, <=5 iterations, seed 42; src/pq.rs:215-259)."""
-    if isinstance(vectors, (np.ndarray, np.memmap)):
-        vecs = vectors  # memmap stays on disk; reshape is a view
-    else:
-        vecs = np.asarray(vectors)
-    subs = vecs.reshape(-1, dsub)
+    linfa path: 1 run, <=5 iterations, seed 42; src/pq.rs:215-259).
+
+    Above a ``[N, K]`` assignment-matrix budget the plain jitted loop is
+    swapped for the blocked binned-argmin + segment-sum formulation
+    (``_kmeans_big``) — K=65,535 over millions of sub-vectors trains in
+    minutes instead of needing a 100s-of-GB intermediate."""
+    on_device = not isinstance(vectors, (np.ndarray, np.memmap))
+    # memmap stays on disk / device arrays stay on device; reshape is a view
+    subs = vectors.reshape(-1, dsub) if on_device else vectors.reshape(-1, dsub)
     if sample is not None and sample < len(subs):
         rng = np.random.default_rng(seed)
         if len(subs) > 50_000_000:
@@ -157,11 +192,21 @@ def kmeans_centroids(
             sel = np.sort(rng.integers(0, len(subs), sample))
         else:
             sel = rng.permutation(len(subs))[:sample]
-        subs = np.asarray(subs[sel])
+        if on_device:
+            subs = jnp.take(subs, jnp.asarray(sel), axis=0)
+        else:
+            subs = np.asarray(subs[sel])
     k = min(n_centroids, len(subs))
     rng = np.random.default_rng(seed)
-    init = subs[rng.permutation(len(subs))[:k]]
-    out = _kmeans_jit(jnp.asarray(subs), jnp.asarray(init), k, iters)
+    if len(subs) > 50_000_000:
+        isel = np.sort(rng.integers(0, len(subs), k * 4))[:: 4][:k]
+    else:
+        isel = rng.permutation(len(subs))[:k]
+    init = jnp.take(subs, jnp.asarray(isel), axis=0) if on_device else subs[isel]
+    if len(subs) * k > (1 << 31):  # [N, K] f32 would exceed ~8 GB
+        out = _kmeans_big(jnp.asarray(subs), jnp.asarray(init), k, iters)
+    else:
+        out = _kmeans_jit(jnp.asarray(subs), jnp.asarray(init), k, iters)
     return np.asarray(out)
 
 
@@ -251,6 +296,114 @@ def quantize_binned(
             )
         )
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+# ---------------------------------------------------------------------------
+# Per-subspace quantizer — classic PQ (nsub independent codebooks)
+
+
+def per_subspace_centroids(
+    vectors,
+    n_centroids: int,
+    dsub: int,
+    seed: int = 0,
+    use_kmeans: bool = True,
+    iters: int = 5,
+    sample: Optional[int] = None,
+) -> np.ndarray:
+    """Train one ``[K, dsub]`` codebook per subspace -> ``[nsub, K, dsub]``.
+
+    The reference trains a single SHARED codebook over all sub-vectors
+    (src/pq.rs:261-285) — cheap, but every subspace competes for the same K
+    cells.  Classic product quantization gives each subspace its own
+    codebook: nsub-fold more effective codebook capacity at equal K and
+    identical code bytes.  Subspaces with fewer than K unique rows pad by
+    tiling (harmless duplicates, as the reference's sampling tolerates)."""
+    dim = vectors.shape[1]
+    assert dim % dsub == 0
+    nsub = dim // dsub
+    books = np.empty((nsub, n_centroids, dsub), np.float32)
+    for j in range(nsub):
+        col = vectors[:, j * dsub : (j + 1) * dsub]
+        if use_kmeans:
+            cb = kmeans_centroids(
+                col, n_centroids, dsub, iters=iters, seed=seed + j, sample=sample
+            )
+        else:
+            cb = random_centroids(col, n_centroids, dsub, seed=seed + j)
+        if len(cb) < n_centroids:  # fewer unique rows than K: tile
+            reps = -(-n_centroids // len(cb))
+            cb = np.tile(cb, (reps, 1))[:n_centroids]
+        books[j] = cb
+    return books
+
+
+class SubspaceQuantizer:
+    """Per-subspace PQ quantizer: ``codebooks [nsub, K, dsub]``.
+
+    The TPU-native counterpart of the reference's ``Quantizer`` trait
+    (src/pq.rs:15-27) for the classic-PQ layout the reference never ships
+    (its HnswQuantizer shares one codebook across subspaces,
+    src/pq.rs:29-82).  Quantization is an exact (or binned) MXU argmin per
+    subspace — no centroid graph is needed because each subspace's K
+    centroids scan in one blocked pass."""
+
+    def __init__(self, codebooks: jax.Array, metric: Metric, pq_params: PqBuildParams):
+        self.codebooks = jnp.asarray(codebooks, jnp.float32)  # [nsub, K, dsub]
+        self.metric = Metric(metric)
+        self.pq_params = pq_params
+
+    @property
+    def nsub(self) -> int:
+        return int(self.codebooks.shape[0])
+
+    @property
+    def dsub(self) -> int:
+        return int(self.codebooks.shape[2])
+
+    @property
+    def n_centroids(self) -> int:
+        return int(self.codebooks.shape[1])
+
+    @property
+    def centroids(self) -> jax.Array:
+        return self.codebooks
+
+    def quantize(
+        self, vecs: jax.Array, exact: bool = False, fast: bool = False
+    ) -> jax.Array:
+        """``[B, SIZE] -> [B, nsub] int32`` codes, each subspace against its
+        own codebook.  ``fast`` uses the fused binned-scan argmin per
+        subspace (the bulk path at K=65,535); otherwise an exact blocked MXU
+        argmin (``exact`` is accepted for signature parity — both
+        non-``fast`` paths are exact here, there is no graph tier).
+
+        Assignment always minimizes SQUARED_EUCLIDEAN sub-vector error —
+        the reconstruction-error objective — regardless of the index
+        metric: a scale-invariant metric (cosine) on a sub-vector would
+        pick arbitrarily mis-scaled centroids, and minimizing L2
+        reconstruction error is what minimizes distance distortion for
+        every supported metric."""
+        del exact  # both non-fast paths are the exact blocked argmin
+        b = vecs.shape[0]
+        am = Metric.SQUARED_EUCLIDEAN
+        cols = []
+        for j in range(self.nsub):
+            sub = vecs[:, j * self.dsub : (j + 1) * self.dsub]
+            cb = self.codebooks[j]
+            if fast and self.n_centroids >= 4096:
+                c = quantize_binned(sub, cb, am)
+            else:
+                from parallel_hnsw_tpu.analysis import blocked_topk_pairwise
+
+                ids, _ = blocked_topk_pairwise(sub, cb, am, 1, row_block=8192)
+                c = ids[:, 0]
+            cols.append(c)
+        return jnp.stack(cols, axis=1).reshape(b, self.nsub).astype(ID_DTYPE)
+
+    def reconstruct(self, codes: jax.Array) -> jax.Array:
+        """``[B, nsub] -> [B, SIZE]`` via the per-subspace codebook gather."""
+        return reconstruct(self.codebooks, codes)
 
 
 # ---------------------------------------------------------------------------
@@ -357,6 +510,8 @@ class QuantizedHnsw:
         fast_quantize: bool = False,
         chunk_size: int = 100_000,
         code_dtype=None,
+        per_subspace: bool = False,
+        kmeans_sample: Optional[int] = None,
         progress: Optional[ProgressMonitor] = None,
         verbose: bool = False,
     ) -> "QuantizedHnsw":
@@ -370,25 +525,39 @@ class QuantizedHnsw:
 
         from parallel_hnsw_tpu.utils.trace import TRACER
 
-        with TRACER.span("pq_centroids", n=number_of_centroids):
-            if use_kmeans:
-                centroids = kmeans_centroids(
-                    full_source.vectors, number_of_centroids, dsub, seed=seed
+        if per_subspace:
+            # classic PQ: one codebook per subspace (nsub-fold more
+            # effective capacity at equal K and identical code bytes); no
+            # centroid graph — quantization is a per-subspace MXU argmin
+            with TRACER.span("pq_subspace_centroids", n=number_of_centroids):
+                books = per_subspace_centroids(
+                    full_source.vectors, number_of_centroids, dsub, seed=seed,
+                    use_kmeans=use_kmeans, sample=kmeans_sample,
                 )
-            else:
-                centroids = random_centroids(
-                    full_source.vectors, number_of_centroids, dsub, seed=seed
-                )
-        monitor.alive()
+            monitor.alive()
+            quantizer = SubspaceQuantizer(books, metric, pqp)
+            centroids = books
+        else:
+            with TRACER.span("pq_centroids", n=number_of_centroids):
+                if use_kmeans:
+                    centroids = kmeans_centroids(
+                        full_source.vectors, number_of_centroids, dsub,
+                        seed=seed, sample=kmeans_sample,
+                    )
+                else:
+                    centroids = random_centroids(
+                        full_source.vectors, number_of_centroids, dsub, seed=seed
+                    )
+            monitor.alive()
 
-        centroid_source = DenseSource(vectors=jnp.asarray(centroids))
-        with TRACER.span("pq_centroid_graph"):
-            centroid_hnsw = Hnsw.generate(
-                centroid_source, None, pqp.centroids, metric, seed=seed,
-                progress=monitor, verbose=verbose,
-            )
-            centroid_hnsw.improve_index(pqp.centroids, progress=monitor)
-        quantizer = HnswQuantizer(centroid_hnsw, nsub, pqp)
+            centroid_source = DenseSource(vectors=jnp.asarray(centroids))
+            with TRACER.span("pq_centroid_graph"):
+                centroid_hnsw = Hnsw.generate(
+                    centroid_source, None, pqp.centroids, metric, seed=seed,
+                    progress=monitor, verbose=verbose,
+                )
+                centroid_hnsw.improve_index(pqp.centroids, progress=monitor)
+            quantizer = HnswQuantizer(centroid_hnsw, nsub, pqp)
 
         # quantize the corpus in streaming chunks (reference: vector_chunks,
         # src/pq.rs:325-334)
@@ -405,7 +574,8 @@ class QuantizedHnsw:
                 )
         if code_dtype is None:
             # reference parity: u16 codes when the codebook fits (src/pq.rs:20)
-            code_dtype = jnp.uint16 if len(centroids) <= 65536 else jnp.int32
+            n_cent = centroids.shape[1] if centroids.ndim == 3 else len(centroids)
+            code_dtype = jnp.uint16 if n_cent <= 65536 else jnp.int32
         pq_source = PqSource(
             codes=jnp.concatenate(codes).astype(code_dtype),
             codebook=jnp.asarray(centroids),
@@ -422,8 +592,11 @@ class QuantizedHnsw:
     def vector_count(self) -> int:
         return self.hnsw.vector_count
 
-    def centroid_hnsw(self) -> Hnsw:
-        return self.quantizer.hnsw
+    def centroid_hnsw(self) -> Optional[Hnsw]:
+        """The centroid graph (shared-codebook quantizer only; a
+        per-subspace :class:`SubspaceQuantizer` scans its codebooks
+        directly and has no graph)."""
+        return getattr(self.quantizer, "hnsw", None)
 
     def search(
         self,

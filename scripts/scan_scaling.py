@@ -61,7 +61,7 @@ def main(q=2048, dim=128):
         gq = queries[:256]
         gt_ids, _ = brute_force_knn(src, gq, M, 10, query_block=256)
         gt = np.asarray(gt_ids)
-        for scan_mode, ovs in (("binned", 8), ("folded", 8)):
+        for scan_mode, ovs in (("binned", 8), ("folded", 8), ("auto", 8)):
             try:
                 fn = lambda: fast_flat_knn(
                     src, queries, M, 10, oversample=ovs, scan_mode=scan_mode
@@ -75,10 +75,16 @@ def main(q=2048, dim=128):
                     )
                     / 10.0
                 )
+                from parallel_hnsw_tpu.analysis import select_scan_mode
+
+                resolved = (
+                    select_scan_mode(n) if scan_mode == "auto" else scan_mode
+                )
                 print(
                     json.dumps(
                         {
                             "point": f"{scan_mode} n={n} ovs={ovs}",
+                            "resolved_mode": resolved,
                             "ms": round(dt * 1e3, 2),
                             "qps": round(q / dt),
                             "recall_at_10": round(rec, 4),

@@ -58,9 +58,13 @@ def sweep(q=2048, n=1_048_576, d=128):
     from parallel_hnsw_tpu.ops.pallas_scan import pallas_folded_scan
 
     def run(label, fn):
+        # NB: fn must take (queries, corpus) as ARGUMENTS — a lambda closing
+        # over the arrays embeds them as jit constants, and the serialized
+        # program (corpus included) blows the axon compile tunnel's request
+        # limit at 1M rows (HTTP 413, round 4's crashed study).
         try:
-            fn()  # compile
-            dt = timeit(fn)
+            fn(qj, cj)  # compile
+            dt = timeit(lambda: fn(qj, cj))
         except Exception as e:  # VMEM blowout → record and move on
             print(f"# {label}: {type(e).__name__}", flush=True)
             return
@@ -84,8 +88,8 @@ def sweep(q=2048, n=1_048_576, d=128):
             run(
                 f"kernel tq={tile_q} tc={tile_c}",
                 jax.jit(
-                    lambda tq=tile_q, tc=tile_c: pallas_binned_scan(
-                        qj, cj, M, tile_q=tq, tile_c=tc
+                    lambda qq, cc, tq=tile_q, tc=tile_c: pallas_binned_scan(
+                        qq, cc, M, tile_q=tq, tile_c=tc
                     )
                 ),
             )
@@ -95,8 +99,9 @@ def sweep(q=2048, n=1_048_576, d=128):
                 run(
                     f"folded tq={tile_q} tc={tile_c} ns={n_slots}",
                     jax.jit(
-                        lambda tq=tile_q, tc=tile_c, ns=n_slots: pallas_folded_scan(
-                            qj, cj, M, tile_q=tq, tile_c=tc, n_slots=ns
+                        lambda qq, cc, tq=tile_q, tc=tile_c, ns=n_slots:
+                        pallas_folded_scan(
+                            qq, cc, M, tile_q=tq, tile_c=tc, n_slots=ns
                         )
                     ),
                 )
@@ -119,10 +124,12 @@ def main(q=2048):
         print(f"# gt done n={n}", flush=True)
 
         # kernel alone (bf16 fast mode, as the engines call it)
+        # pass the corpus as an ARGUMENT: closing over it embeds a 512MB
+        # constant in the serialized program (axon tunnel HTTP 413 at 1M)
         cj = src.vectors
-        kfn = jax.jit(lambda q: binned_scan(q, cj, M, tile_c=4096))
-        kfn(qj)  # compile
-        dt = timeit(lambda: kfn(qj))
+        kfn = jax.jit(lambda q, c: binned_scan(q, c, M, tile_c=4096))
+        kfn(qj, cj)  # compile
+        dt = timeit(lambda: kfn(qj, cj))
         flops = 2.0 * q * n * d
         print(
             json.dumps(

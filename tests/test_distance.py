@@ -117,6 +117,19 @@ def test_fast_flat_knn_folded_mode_high_recall():
     assert np.all(np.diff(np.asarray(d), axis=1) >= -1e-6)
 
 
+def test_select_scan_mode_matches_measured_frontier():
+    """scan_mode='auto' must follow the measured on-chip frontier
+    (BENCH_NOTES 'Flat-scan kernel scaling 1M-8M'): folded wins >= 2M."""
+    from parallel_hnsw_tpu.analysis import select_scan_mode
+
+    assert select_scan_mode(10_000) == "exhaustive"
+    assert select_scan_mode(199_999) == "exhaustive"
+    assert select_scan_mode(200_000) == "binned"
+    assert select_scan_mode(1_048_576) == "binned"
+    assert select_scan_mode(2_000_000) == "folded"
+    assert select_scan_mode(8_388_608) == "folded"
+
+
 def test_hnsw_search_exact_fast_path():
     from parallel_hnsw_tpu.graph import DenseSource
     from parallel_hnsw_tpu.index import Hnsw

@@ -159,6 +159,40 @@ def test_out_of_core_flat_scan(ooc):
     assert hits >= 0.95, hits
 
 
+def test_search_exact_in_core_matches_out_of_core(tmp_path):
+    """In-core ``search_exact`` must rerank against the resident f32 vectors
+    (in-shard, pre-merge) and return the SAME ids and exact distances as the
+    out-of-core path's disk-gather rerank on the same corpus (reference
+    rerank contract: src/pq.rs:346-364)."""
+    mm, arr = _write_memmap(tmp_path, 250, 16, seed=11)
+    dense = random_unit_corpus(250, 16, seed=11)
+    mesh = default_mesh()
+    kw = dict(
+        number_of_centroids=48, dsub=4, metric=Metric.EUCLIDEAN, mesh=mesh,
+        pqp=PQP, seed=3, exact_quantize=True, chunk_size=16, improve=False,
+    )
+    ooc_idx = ShardedQuantizedHnsw.new(full_source=mm, **kw)
+    inc_idx = ShardedQuantizedHnsw.new(full_source=dense, **kw)
+    assert inc_idx.full_stacked is not None
+    queries = jnp.asarray(arr[:40])
+    # oversample*k >= corpus: both candidate sets cover every row, so both
+    # paths must return the exact brute-force answer — any code-distance
+    # leak in either rerank breaks the equality
+    i_in, d_in = inc_idx.search_exact(queries, k=5, fast=False, oversample=64)
+    i_out, d_out = ooc_idx.search_exact(queries, k=5, fast=False, oversample=64)
+    np.testing.assert_array_equal(np.asarray(i_in), np.asarray(i_out))
+    np.testing.assert_allclose(np.asarray(d_in), np.asarray(d_out), atol=1e-5)
+    from parallel_hnsw_tpu.analysis import brute_force_knn
+    from parallel_hnsw_tpu.graph import DenseSource
+
+    gt_ids, gt_d = brute_force_knn(
+        DenseSource(vectors=jnp.asarray(arr)), queries, Metric.EUCLIDEAN, 5
+    )
+    np.testing.assert_array_equal(np.asarray(i_in), np.asarray(gt_ids))
+    # distances are true f32 (self-distance ~0), not code reconstructions
+    np.testing.assert_allclose(np.asarray(d_in), np.asarray(gt_d), atol=1e-5)
+
+
 def test_out_of_core_matches_in_core_codes(tmp_path):
     """Per-shard streamed quantization assigns the same codes as the in-core
     single-device path (same codebook, same rows)."""

@@ -261,3 +261,159 @@ def test_quantize_binned_chunk_boundaries():
     one = np.asarray(quantize_binned(subs, cents, Metric.SQUARED_EUCLIDEAN, block=4096))
     many = np.asarray(quantize_binned(subs, cents, Metric.SQUARED_EUCLIDEAN, block=256))
     np.testing.assert_array_equal(one, many)
+
+
+# ---------------------------------------------------------------------------
+# Per-subspace codebooks (classic PQ; TPU-only capability vs the reference's
+# shared codebook, src/pq.rs:261-285)
+
+
+def _shifted_corpus(n=400, dim=16, dsub=4, seed=7):
+    """Corpus whose subspaces have different offsets, so a per-subspace
+    codebook has a real capacity advantage over a shared one."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    for j in range(dim // dsub):
+        x[:, j * dsub : (j + 1) * dsub] += 3.0 * j
+    return x
+
+
+def test_per_subspace_centroids_shape():
+    from parallel_hnsw_tpu.pq import per_subspace_centroids
+
+    x = _shifted_corpus()
+    books = per_subspace_centroids(x, 32, 4, seed=0)
+    assert books.shape == (4, 32, 4)
+    assert books.dtype == np.float32
+
+
+def test_subspace_quantizer_beats_shared_codebook():
+    """Equal K, identical code bytes: per-subspace codebooks must reconstruct
+    strictly better than the shared codebook when subspace distributions
+    differ (the capacity argument for classic PQ)."""
+    from parallel_hnsw_tpu.index import Hnsw
+    from parallel_hnsw_tpu.graph import DenseSource
+    from parallel_hnsw_tpu.pq import (
+        HnswQuantizer,
+        SubspaceQuantizer,
+        kmeans_centroids,
+        per_subspace_centroids,
+    )
+
+    x = _shifted_corpus()
+    k, dsub = 16, 4
+    shared = kmeans_centroids(x, k, dsub, iters=8, seed=0)
+    chnsw = Hnsw.generate(
+        DenseSource(vectors=jnp.asarray(shared)), None, SMALL_BP,
+        Metric.SQUARED_EUCLIDEAN, seed=0,
+    )
+    q_shared = HnswQuantizer(chnsw, 4, PQP)
+    books = per_subspace_centroids(x, k, dsub, seed=0, iters=8)
+    q_sub = SubspaceQuantizer(jnp.asarray(books), Metric.EUCLIDEAN, PQP)
+
+    xs = jnp.asarray(x)
+
+    def mse(q):
+        recon = np.asarray(q.reconstruct(q.quantize(xs, exact=True)))
+        return ((recon - x) ** 2).mean()
+
+    assert mse(q_sub) < mse(q_shared) * 0.5, (mse(q_sub), mse(q_shared))
+
+
+def test_subspace_quantizer_fast_matches_exact():
+    # n must exceed K so the codebooks hold DISTINCT centroids — tiling
+    # duplicates would make exact/binned tie-breaks diverge harmlessly
+    from parallel_hnsw_tpu.pq import SubspaceQuantizer, per_subspace_centroids
+
+    # zero-mean data: the bf16 scan's resolution is relative to vector
+    # magnitude, so large per-subspace offsets would drown the ~0.1-scale
+    # nearest-centroid gaps in cancellation (true of every fast-scan path,
+    # not specific to SubspaceQuantizer)
+    x = np.random.default_rng(8).normal(size=(6000, 16)).astype(np.float32)
+    books = per_subspace_centroids(x, 4096, 4, seed=1, use_kmeans=False)
+    assert all(len(np.unique(b, axis=0)) == 4096 for b in books)
+    q = SubspaceQuantizer(jnp.asarray(books), Metric.EUCLIDEAN, PQP)
+    c_exact = np.asarray(q.quantize(jnp.asarray(x), exact=True))
+    c_fast = np.asarray(q.quantize(jnp.asarray(x), fast=True))
+    # at K=4096 in 4-d, many centroids are near-ties the bf16 scan cannot
+    # order — codes may differ, but the RECONSTRUCTION quality must match
+    # (that is the quantizer contract; cf. test_quantize_binned_matches_exact
+    # for the low-tie regime where codes agree outright)
+    e_exact = ((np.asarray(q.reconstruct(jnp.asarray(c_exact))) - x) ** 2).sum(-1)
+    e_fast = ((np.asarray(q.reconstruct(jnp.asarray(c_fast))) - x) ** 2).sum(-1)
+    assert e_fast.mean() <= e_exact.mean() * 1.02, (e_fast.mean(), e_exact.mean())
+
+
+@pytest.fixture(scope="module")
+def subspace_pq():
+    src = random_unit_corpus(300, 16, seed=21)
+    return QuantizedHnsw.new(
+        number_of_centroids=64,
+        full_source=src,
+        dsub=4,
+        metric=Metric.EUCLIDEAN,
+        pqp=PQP,
+        seed=4,
+        per_subspace=True,
+        use_kmeans=True,
+    ), src
+
+
+def test_per_subspace_end_to_end_search(subspace_pq):
+    q, src = subspace_pq
+    from parallel_hnsw_tpu.pq import SubspaceQuantizer
+
+    assert isinstance(q.quantizer, SubspaceQuantizer)
+    assert q.centroid_hnsw() is None  # no centroid graph in this mode
+    ids, dists = q.search(src.vectors, rerank=True)
+    hits = np.asarray(ids[:, 0]) == np.arange(src.count)
+    assert hits.mean() >= 0.9, hits.mean()
+
+
+def test_per_subspace_flat_scan_adc(subspace_pq):
+    """search_exact's ADC path must accept the [nsub, K, dsub] codebook."""
+    q, src = subspace_pq
+    ids, dists = q.search_exact(src.vectors[:64], k=10, rerank=True)
+    hits = np.asarray(ids[:, 0]) == np.arange(64)
+    assert hits.mean() >= 0.9, hits.mean()
+
+
+def test_per_subspace_reconstruction_beats_shared(subspace_pq):
+    """On the same corpus/K/dsub, the per-subspace index's code
+    reconstructions are at least as good as the shared-codebook index's."""
+    q_sub, src = subspace_pq
+    q_shared = QuantizedHnsw.new(
+        number_of_centroids=64, full_source=src, dsub=4,
+        metric=Metric.EUCLIDEAN, pqp=PQP, seed=4, exact_quantize=True,
+        use_kmeans=True,
+    )
+    x = np.asarray(src.vectors)
+
+    def mse(q):
+        recon = np.asarray(
+            q.quantizer.reconstruct(q.quantizer.quantize(src.vectors, exact=True))
+        )
+        return ((recon - x) ** 2).mean()
+
+    assert mse(q_sub) <= mse(q_shared) * 1.05
+
+
+def test_kmeans_big_matches_plain_path():
+    """The blocked binned-argmin + segment-sum k-means (the K=65,535 path)
+    converges to the same centroids as the plain jitted loop on the same
+    init (assignments are near-exact, so drift is collision-only)."""
+    from parallel_hnsw_tpu.pq import _kmeans_big, _kmeans_jit
+
+    rng = np.random.default_rng(3)
+    subs = jnp.asarray(rng.normal(size=(4000, 4)).astype(np.float32))
+    init = np.asarray(subs)[rng.permutation(4000)[:64]]
+    a = np.asarray(_kmeans_jit(subs, jnp.asarray(init), 64, 4))
+    b = np.asarray(_kmeans_big(subs, jnp.asarray(init), 64, 4, block=1024))
+
+    def distortion(cents):
+        d = np.asarray(
+            pairwise_distance(subs, jnp.asarray(cents), Metric.SQUARED_EUCLIDEAN)
+        )
+        return d.min(axis=1).mean()
+
+    np.testing.assert_allclose(distortion(b), distortion(a), rtol=0.02)

@@ -161,3 +161,36 @@ def test_resume_rejects_mismatched_checkpoint(tmp_path):
     assert rebuilt.layer_count == full.layer_count
     for la, lb in zip(rebuilt.layers, full.layers):
         np.testing.assert_array_equal(np.asarray(la.nodes), np.asarray(lb.nodes))
+
+
+def test_per_subspace_quantized_round_trip(tmp_path):
+    """SubspaceQuantizer indexes persist: codebooks dump raw under
+    quantizer/ with a quantizer_kind tag (no centroid graph to store)."""
+    from parallel_hnsw_tpu.io import (
+        deserialize_quantized_hnsw,
+        serialize_quantized_hnsw,
+    )
+    from parallel_hnsw_tpu.params import PqBuildParams, SearchParams
+    from parallel_hnsw_tpu.pq import QuantizedHnsw, SubspaceQuantizer
+
+    bp = BuildParams(
+        order=6, neighborhood_size=4, zero_layer_neighborhood_size=8,
+        optimization=OptimizationParams(recall_proportion=1.0),
+    )
+    pqp = PqBuildParams(centroids=bp, hnsw=bp, quantized_search=SearchParams())
+    src = random_unit_corpus(150, 8, seed=9)
+    q = QuantizedHnsw.new(
+        32, src, 4, Metric.EUCLIDEAN, pqp, seed=1, per_subspace=True,
+        use_kmeans=True,
+    )
+    serialize_quantized_hnsw(q, tmp_path / "pq_sub_idx")
+    loaded = deserialize_quantized_hnsw(tmp_path / "pq_sub_idx")
+    assert isinstance(loaded.quantizer, SubspaceQuantizer)
+    assert loaded.quantizer.metric == q.quantizer.metric
+    np.testing.assert_array_equal(
+        np.asarray(loaded.quantizer.codebooks), np.asarray(q.quantizer.codebooks)
+    )
+    i1, d1 = q.search(src.vectors[:10])
+    i2, d2 = loaded.search(src.vectors[:10])
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
