@@ -16,7 +16,7 @@ untried levers:
   (src/pq.rs:261-285); PqSource/reconstruct/adc_lut already accept
   [nsub, K, dsub].
 
-Usage: PYTHONPATH=. python scripts/c4_capacity.py sub4096 [count]
+Usage: python scripts/c4_capacity.py sub4096 [count]
 """
 
 import json

@@ -11,7 +11,7 @@ resident (1/16th of a config-5 shard's ingest, same chunk shape: 100k rows
 x 3 KB = 300 MB per chunk).  The code-graph build is excluded from the
 ingest number (reported separately) via the ooc_ingest_shard trace span.
 
-Usage: PYTHONPATH=. python scripts/ingest_bench.py [count] [dim]
+Usage: python scripts/ingest_bench.py [count] [dim]
 """
 
 import json

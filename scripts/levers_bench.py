@@ -10,7 +10,7 @@ routed+slabs, measured at 2-3 operating points on
 Flat-scan rows are printed for context (the engine the graph must beat).
 Prints one JSON line per (mode, op-point).
 
-Usage: PYTHONPATH=. python scripts/levers_bench.py [gate|c2c] [count]
+Usage: python scripts/levers_bench.py [gate|c2c] [count]
 """
 
 import json

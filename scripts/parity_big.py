@@ -9,7 +9,7 @@ model of the reference's serial search) against the engine ON THE SAME
 
 CPU-only by design: recall is platform-independent and the model is NumPy;
 forcing the cpu platform also keeps this safe to run while a chip job holds
-the TPU grant.  Usage: PYTHONPATH=. python scripts/parity_big.py [count] [nq]
+the TPU grant.  Usage: python scripts/parity_big.py [count] [nq]
 (expects /tmp/idx_c2_<count> built by big_bench.py config2).
 """
 

@@ -5,7 +5,7 @@ Loads the index checkpointed by pq_gate.py and sweeps ef x hop mode
 "QPS at equal recall" comparison for VERDICT r2 #3.  Flat-scan rows are the
 engine ceiling for context.
 
-Usage: PYTHONPATH=. python scripts/pq_sweep.py
+Usage: python scripts/pq_sweep.py
 """
 
 import json

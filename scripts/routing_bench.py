@@ -5,7 +5,7 @@ rows + exact rerank) against the exact traversal on the same graph/corpus:
 recall@10 and QPS across ef, at several routing widths.
 
 Usage:
-  PYTHONPATH=. python scripts/routing_bench.py [count] [dr ...]
+  python scripts/routing_bench.py [count] [dr ...]
 loads /tmp/idx_c2c_<count> (built by `big_bench.py config2c <count>`).
 """
 

@@ -8,7 +8,7 @@ while scan cost is linear in N, so measuring scan QPS at 1M/2M/4M/8M x 128
 pins the crossover against the measured 1M graph operating points
 (BENCH_NOTES config2c: 6.6k QPS at recall 0.955, ef=24).
 
-Usage: PYTHONPATH=. python scripts/scan_scaling.py [q] [dim]
+Usage: python scripts/scan_scaling.py [q] [dim]
 """
 
 import json

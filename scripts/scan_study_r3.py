@@ -4,7 +4,7 @@ Measures the kernel in isolation and through ``fast_flat_knn`` at 262k and
 1M x 128, cosine, warm-cache, host-readback timing — the VERDICT-r2 #6
 "push flat-scan MFU past 15%" evidence run.  Prints one JSON line per point.
 
-Usage: PYTHONPATH=. python scripts/scan_study_r3.py [q]
+Usage: python scripts/scan_study_r3.py [q]
 """
 
 import json

@@ -4,7 +4,7 @@ Workloads: the 10k x 100 bench graph (the driver's gate workload) and,
 when present, the 1M clustered checkpoint.  Measures graph-search QPS at a
 few operating points for: plain hop, f32 slabs, routing(bf16)+slabs.
 
-Usage: PYTHONPATH=. python scripts/slab_bench.py [count] [dim]
+Usage: python scripts/slab_bench.py [count] [dim]
 """
 
 import json
