@@ -148,6 +148,7 @@ class ShardedHnsw:
         improve: bool = True,
         verbose: bool = False,
         parallel_build: bool = True,
+        build_graphs: bool = True,
     ) -> "ShardedHnsw":
         """Partition the corpus round-robin over shards and build one HNSW per
         shard, each on its own device.  Shard builds run on concurrent host
@@ -174,6 +175,7 @@ class ShardedHnsw:
         return cls.from_shard_sources(
             shard_sources, shard_gids, mesh, bp, metric, seed=seed,
             improve=improve, verbose=verbose, parallel_build=parallel_build,
+            build_graphs=build_graphs,
         )
 
     @classmethod
@@ -188,14 +190,34 @@ class ShardedHnsw:
         improve: bool = True,
         verbose: bool = False,
         parallel_build: bool = True,
+        build_graphs: bool = True,
     ) -> "ShardedHnsw":
         """Build one HNSW per pre-partitioned shard source, each on its own
         mesh device, then stack + place.  The seam that lets out-of-core
         ingestion quantize/partition shard rows itself (streaming from disk)
-        and hand device-resident per-shard sources straight to the builder."""
+        and hand device-resident per-shard sources straight to the builder.
+
+        ``build_graphs=False`` produces a **scan-only** index: shard sources
+        are stacked and placed but no per-shard graphs are built —
+        :meth:`search_exact` (the per-shard MXU/binned flat scan + ICI merge)
+        is the only query engine.  This is the production shape of the
+        100M PQ-sharded config, whose serving engine is the flat code scan
+        (BENCH_NOTES config5), where a multi-million-node code graph would
+        cost hours of build for an engine that never walks it."""
         bp = bp or BuildParams()
         n_shards = mesh.devices.size
         assert len(shard_sources) == n_shards
+        if not build_graphs:
+            out = cls(
+                mesh,
+                [],
+                _stack_sources(shard_sources),
+                jnp.asarray(shard_gids),
+                metric,
+                bp,
+            )
+            out.place()
+            return out
         devices = list(mesh.devices.flat)
 
         def build_one(s: int) -> Tuple[Source, Hnsw]:
@@ -287,6 +309,11 @@ class ShardedHnsw:
         self, queries: jax.Array, sp: Optional[SearchParams] = None, k: Optional[int] = None
     ) -> Tuple[jax.Array, jax.Array]:
         """Fan out to every shard, merge top-k across shards over ICI."""
+        if not self.layers_stacked:
+            raise ValueError(
+                "scan-only sharded index (build_graphs=False) has no shard "
+                "graphs; query it with search_exact()"
+            )
         sp = sp or self.build_parameters.optimization.search
         k = k or sp.number_of_candidates
         flat = []
@@ -342,7 +369,7 @@ class ShardedHnsw:
 
     def _shard_hnsw(self, s: int) -> Hnsw:
         """Materialize shard ``s`` as a standalone per-device Hnsw (padding
-        rows stripped)."""
+        rows stripped; zero layers for a scan-only index)."""
         layers = []
         for l in self.layers_stacked:
             nodes = np.asarray(l.nodes[s])
@@ -405,6 +432,11 @@ class ShardedHnsw:
         change nothing preserve array identity (see
         link_layer_to_better_neighbors), so a converged index costs zero
         host round-trips here.  Returns the minimum shard recall."""
+        if not self.layers_stacked:
+            raise ValueError(
+                "scan-only sharded index (build_graphs=False) has no shard "
+                "graphs to improve; rebuild with build_graphs=True"
+            )
         bp = bp or self.build_parameters
         devices = list(self.mesh.devices.flat)
         hnsws = [self._shard_hnsw(s) for s in range(self.n_shards)]
@@ -654,6 +686,7 @@ class ShardedQuantizedHnsw:
         chunk_size: int = 100_000,
         improve: bool = True,
         verbose: bool = False,
+        build_graphs: bool = True,
     ) -> "ShardedQuantizedHnsw":
         from parallel_hnsw_tpu.graph import is_host_source
         from parallel_hnsw_tpu.params import PqBuildParams
@@ -751,7 +784,7 @@ class ShardedQuantizedHnsw:
 
             sharded = ShardedHnsw.from_shard_sources(
                 shard_sources, shard_gids, mesh, pqp.hnsw, metric, seed=seed,
-                improve=improve, verbose=verbose,
+                improve=improve, verbose=verbose, build_graphs=build_graphs,
             )
             return cls(quantizer, sharded, full_host=full_source)
 
@@ -768,7 +801,7 @@ class ShardedQuantizedHnsw:
 
         sharded = ShardedHnsw.generate(
             pq_source, mesh, pqp.hnsw, metric, seed=seed, improve=improve,
-            verbose=verbose,
+            verbose=verbose, build_graphs=build_graphs,
         )
         # stack the full-precision vectors shard-major with the same
         # round-robin partition + last-row padding as ShardedHnsw.generate

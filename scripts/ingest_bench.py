@@ -8,8 +8,11 @@ turning BENCH_NOTES' config-5 ingest arithmetic into a measurement.
 
 Default geometry: 2M x 768-d f32 = 6.1 GB on disk, 96x8 u16 codes = 384 MB
 resident (1/16th of a config-5 shard's ingest, same chunk shape: 100k rows
-x 3 KB = 300 MB per chunk).  The code-graph build is excluded from the
-ingest number (reported separately) via the ooc_ingest_shard trace span.
+x 3 KB = 300 MB per chunk).  Built scan-only (``build_graphs=False``) —
+config5's serving engine is the flat code scan, and a 2M-node code graph
+would add hours of build for an engine the config never walks.  The ingest
+number itself is the ooc_ingest_shard trace span (streamed chunks +
+quantize); centroid selection/graph are reported via the total.
 
 Usage: python scripts/ingest_bench.py [count] [dim]
 """
@@ -29,7 +32,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from parallel_hnsw_tpu.graph import open_memmap_source
+from parallel_hnsw_tpu.graph import MemmapSource, open_memmap_source
 from parallel_hnsw_tpu.ops.distance import Metric
 from parallel_hnsw_tpu.params import (
     BuildParams,
@@ -41,6 +44,21 @@ from parallel_hnsw_tpu.parallel import ShardedQuantizedHnsw
 from parallel_hnsw_tpu.utils.trace import enable_tracing
 
 PATH = "/tmp/ingest_corpus.f32"
+T0 = time.time()
+
+
+def stamp(msg):
+    print(f"# t+{time.time() - T0:7.0f}s  {msg}", flush=True)
+
+
+class VerboseMemmap(MemmapSource):
+    """MemmapSource that narrates each streamed chunk (progress visibility —
+    the 2M x 768 drive runs tens of minutes with long silent device phases)."""
+
+    def chunks(self, chunk_size: int = 100_000, ids=None):
+        for i, ch in enumerate(super().chunks(chunk_size, ids)):
+            stamp(f"chunk {i}: {len(ch)} rows host->device")
+            yield ch
 
 
 def write_corpus(count, dim):
@@ -62,9 +80,10 @@ def write_corpus(count, dim):
 
 def main(count=2_000_000, dim=768):
     write_corpus(count, dim)
-    tracer = enable_tracing(log=None)
+    tracer = enable_tracing(log=stamp)
     mm = open_memmap_source(PATH, dim)
     assert mm.count == count
+    mm = VerboseMemmap(vectors=mm.vectors)
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("shard",))
 
     # cheap code-graph params: the ingest number is the span, the graph build
@@ -78,12 +97,16 @@ def main(count=2_000_000, dim=768):
     )
     pqp = PqBuildParams(centroids=small, hnsw=small)
 
+    stamp("starting ShardedQuantizedHnsw.new (centroids -> centroid graph "
+          "-> streamed quantize -> code graph)")
     t0 = time.time()
     q = ShardedQuantizedHnsw.new(
         65_535, mm, dim // 96, Metric.NORMALIZED_COSINE, mesh, pqp,
         seed=0, fast_quantize=True, chunk_size=100_000, improve=False,
+        verbose=True, build_graphs=False,
     )
     total_s = time.time() - t0
+    stamp(f"build done in {total_s:.0f}s")
     assert q.full_stacked is None  # codes-only residency
 
     spans = [e for e in tracer.events if e.name == "ooc_ingest_shard"]

@@ -238,3 +238,43 @@ def test_out_of_core_roundtrip(tmp_path, ooc):
     )
     i3, _ = back2.search(q, k=5, exact_quantize=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
+
+
+def test_scan_only_build(tmp_path):
+    """build_graphs=False: no shard graphs are built (the config-5 serving
+    shape — the flat code scan is the engine, BENCH_NOTES config5), flat
+    scans and the serialize round-trip work, graph paths raise."""
+    from parallel_hnsw_tpu.io import (
+        deserialize_sharded_hnsw,
+        serialize_sharded_hnsw,
+    )
+    from parallel_hnsw_tpu.parallel import ShardedHnsw
+
+    mm, arr = _write_memmap(tmp_path, 96, 8, seed=9)
+    mesh = default_mesh()
+    sq = ShardedQuantizedHnsw.new(
+        number_of_centroids=16, full_source=mm, dsub=4,
+        metric=Metric.EUCLIDEAN, mesh=mesh, pqp=PQP, seed=3,
+        exact_quantize=True, chunk_size=8, build_graphs=False,
+    )
+    assert sq.full_stacked is None
+    assert sq.sharded.layers_stacked == []
+    q = jnp.asarray(arr[:24])
+    ids, _ = sq.search_exact(q, k=3, fast=False, oversample=8)
+    assert float((np.asarray(ids)[:, 0] == np.arange(24)).mean()) == 1.0
+    with pytest.raises(ValueError, match="scan-only"):
+        sq.sharded.search(q)
+    with pytest.raises(ValueError, match="scan-only"):
+        sq.sharded.improve_index()
+
+    # dense scan-only + persistence round-trip
+    src = random_unit_corpus(64, 8, seed=4)
+    sh = ShardedHnsw.generate(
+        src, mesh, metric=Metric.NORMALIZED_COSINE, build_graphs=False
+    )
+    i1, _ = sh.search_exact(src.vectors[:16], k=3)
+    serialize_sharded_hnsw(sh, tmp_path / "scan_only")
+    back = deserialize_sharded_hnsw(tmp_path / "scan_only", mesh)
+    assert back.layers_stacked == []
+    i2, _ = back.search_exact(src.vectors[:16], k=3)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
