@@ -8,7 +8,8 @@ while scan cost is linear in N, so measuring scan QPS at 1M/2M/4M/8M x 128
 pins the crossover against the measured 1M graph operating points
 (BENCH_NOTES config2c: 6.6k QPS at recall 0.955, ef=24).
 
-Usage: python scripts/scan_scaling.py [q] [dim]
+Usage: python scripts/scan_scaling.py [q] [dim] [modes]
+  modes: comma list of binned/folded/auto (default all three)
 """
 
 import json
@@ -42,8 +43,9 @@ def timeit(fn, reps=3):
     return best
 
 
-def main(q=2048, dim=128):
+def main(q=2048, dim=128, modes="binned,folded,auto"):
     print(jax.devices(), flush=True)
+    mode_list = tuple(modes.split(","))
     rng = np.random.default_rng(0)
     # clustered corpus (the honest case, same generator family as config2c)
     centers = rng.standard_normal((1024, dim)).astype(np.float32)
@@ -61,7 +63,7 @@ def main(q=2048, dim=128):
         gq = queries[:256]
         gt_ids, _ = brute_force_knn(src, gq, M, 10, query_block=256)
         gt = np.asarray(gt_ids)
-        for scan_mode, ovs in (("binned", 8), ("folded", 8), ("auto", 8)):
+        for scan_mode, ovs in ((m, 8) for m in mode_list):
             try:
                 fn = lambda: fast_flat_knn(
                     src, queries, M, 10, oversample=ovs, scan_mode=scan_mode
@@ -98,4 +100,8 @@ def main(q=2048, dim=128):
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    argv = sys.argv[1:]
+    main(
+        *(int(a) for a in argv[:2]),
+        **({"modes": argv[2]} if len(argv) > 2 else {}),
+    )
