@@ -144,6 +144,37 @@ def main(q=2048):
             flush=True,
         )
 
+        # decomposition baselines for the roofline (round 5): what does XLA
+        # pay for the same distance matmul when it must MATERIALIZE the
+        # [Q, N] tile stream (bf16) vs when it only reduces it?  The gap
+        # between "matmul only" and the fused kernel is the price of index
+        # tracking + binning; the gap between "matmul+min" and "matmul only"
+        # is the reduce; everything is passed as arguments (HTTP 413).
+        cb = jnp.asarray(corpus, jnp.bfloat16)
+        qb = jnp.asarray(queries, jnp.bfloat16)
+        for label, f in (
+            ("matmul only", lambda q, c: (q @ c.T,)),
+            ("matmul+min", lambda q, c: (jnp.min(q @ c.T, axis=1)[None, :],)),
+        ):
+            try:
+                xfn = jax.jit(f)
+                xfn(qb, cb)  # compile
+                dt = timeit(lambda: xfn(qb, cb))
+            except Exception as e:
+                print(f"# xla {label} {n}: {type(e).__name__}", flush=True)
+                continue
+            print(
+                json.dumps(
+                    {
+                        "point": f"xla {label} {n}x{d} q={q}",
+                        "ms": round(dt * 1e3, 2),
+                        "tf_s": round(flops / dt / 1e12, 1),
+                        "mfu_bf16_pct": round(100 * flops / dt / 197e12, 1),
+                    }
+                ),
+                flush=True,
+            )
+
         # end-to-end engine (kernel + approx_min_k + exact rerank)
         for ovs in (4, 8):
             fast_flat_knn(src, qj, M, 10, oversample=ovs)  # compile
