@@ -8,8 +8,11 @@ while scan cost is linear in N, so measuring scan QPS at 1M/2M/4M/8M x 128
 pins the crossover against the measured 1M graph operating points
 (BENCH_NOTES config2c: 6.6k QPS at recall 0.955, ef=24).
 
-Usage: python scripts/scan_scaling.py [q] [dim] [modes]
+Usage: python scripts/scan_scaling.py [q] [dim] [modes] [sizes]
   modes: comma list of binned/folded/auto (default all three)
+  sizes: comma list in MiB-rows, e.g. "2,8" (default "1,2,4,8"; corpora are
+         drawn sequentially from one rng, so a trimmed run's corpus at a
+         given n differs from a full run's — statistically equivalent)
 """
 
 import json
@@ -43,13 +46,14 @@ def timeit(fn, reps=3):
     return best
 
 
-def main(q=2048, dim=128, modes="binned,folded,auto"):
+def main(q=2048, dim=128, modes="binned,folded,auto", sizes="1,2,4,8"):
     print(jax.devices(), flush=True)
     mode_list = tuple(modes.split(","))
+    size_list = tuple(int(s) << 20 for s in sizes.split(","))
     rng = np.random.default_rng(0)
     # clustered corpus (the honest case, same generator family as config2c)
     centers = rng.standard_normal((1024, dim)).astype(np.float32)
-    for n in (1 << 20, 2 << 20, 4 << 20, 8 << 20):
+    for n in size_list:
         which = rng.integers(0, 1024, n)
         corpus = centers[which] + 0.35 * rng.standard_normal((n, dim)).astype(
             np.float32
@@ -101,7 +105,9 @@ def main(q=2048, dim=128, modes="binned,folded,auto"):
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    main(
-        *(int(a) for a in argv[:2]),
-        **({"modes": argv[2]} if len(argv) > 2 else {}),
-    )
+    kw = {}
+    if len(argv) > 2:
+        kw["modes"] = argv[2]
+    if len(argv) > 3:
+        kw["sizes"] = argv[3]
+    main(*(int(a) for a in argv[:2]), **kw)
