@@ -687,12 +687,15 @@ class ShardedQuantizedHnsw:
         improve: bool = True,
         verbose: bool = False,
         build_graphs: bool = True,
+        per_subspace: bool = False,
     ) -> "ShardedQuantizedHnsw":
         from parallel_hnsw_tpu.graph import is_host_source
         from parallel_hnsw_tpu.params import PqBuildParams
         from parallel_hnsw_tpu.pq import (
             HnswQuantizer,
+            SubspaceQuantizer,
             kmeans_centroids,
+            per_subspace_centroids,
             random_centroids,
         )
 
@@ -702,18 +705,33 @@ class ShardedQuantizedHnsw:
         nsub = dim // dsub
         out_of_core = is_host_source(full_source)
 
-        picker = kmeans_centroids if use_kmeans else random_centroids
-        kw = {"sample": 4_000_000} if use_kmeans and out_of_core else {}
-        centroids = picker(
-            full_source.vectors, number_of_centroids, dsub, seed=seed, **kw
-        )
-        centroid_source = DenseSource(vectors=jnp.asarray(centroids))
-        centroid_hnsw = Hnsw.generate(
-            centroid_source, None, pqp.centroids, metric, seed=seed, verbose=verbose
-        )
-        centroid_hnsw.improve_index(pqp.centroids)
-        quantizer = HnswQuantizer(centroid_hnsw, nsub, pqp)
-        code_dtype = jnp.uint16 if len(centroids) <= 65536 else jnp.int32
+        if per_subspace:
+            # classic PQ: one trained [K, dsub] codebook per subspace —
+            # nsub-fold more codebook capacity at identical code bytes (the
+            # layout that cleared the 10M recall floor, BENCH_NOTES config4);
+            # no centroid graph, quantization is a per-subspace MXU argmin
+            kw = {"sample": 4_000_000} if out_of_core else {}
+            centroids = per_subspace_centroids(
+                full_source.vectors, number_of_centroids, dsub, seed=seed,
+                use_kmeans=use_kmeans, **kw
+            )
+            quantizer = SubspaceQuantizer(centroids, metric, pqp)
+            centroid_source = None
+        else:
+            picker = kmeans_centroids if use_kmeans else random_centroids
+            kw = {"sample": 4_000_000} if use_kmeans and out_of_core else {}
+            centroids = picker(
+                full_source.vectors, number_of_centroids, dsub, seed=seed, **kw
+            )
+            centroid_source = DenseSource(vectors=jnp.asarray(centroids))
+            centroid_hnsw = Hnsw.generate(
+                centroid_source, None, pqp.centroids, metric, seed=seed,
+                verbose=verbose,
+            )
+            centroid_hnsw.improve_index(pqp.centroids)
+            quantizer = HnswQuantizer(centroid_hnsw, nsub, pqp)
+        n_cent = centroids.shape[1] if centroids.ndim == 3 else len(centroids)
+        code_dtype = jnp.uint16 if n_cent <= 65536 else jnp.int32
 
         n_shards = mesh.devices.size
         count = full_source.count
@@ -737,32 +755,44 @@ class ShardedQuantizedHnsw:
                     ids = np.concatenate([ids, np.repeat(ids[-1:], per - real)])
                 shard_gids[s, :real] = ids[:real]
                 dev = devices[s]
-                cb = jax.device_put(centroid_source.vectors, dev)
+                if per_subspace:
+                    # per-device codebook replicas: quantize on the shard's
+                    # own device against its own [nsub, K, dsub] copy
+                    cb = jax.device_put(quantizer.codebooks, dev)
+                    qdev = SubspaceQuantizer(cb, metric, pqp)
+                else:
+                    cb = jax.device_put(centroid_source.vectors, dev)
                 chunks = []
                 with TRACER.span(
                     "ooc_ingest_shard", rows=real,
                     bytes=real * dim * full_source.vectors.itemsize,
                 ), jax.default_device(dev):
                     for chunk in full_source.chunks(chunk_size, ids=ids):
-                        subs = jnp.asarray(chunk).reshape(-1, dsub)
-                        if fast_quantize:
+                        if per_subspace:
+                            c = qdev.quantize(
+                                jnp.asarray(chunk), fast=fast_quantize
+                            )
+                        elif fast_quantize:
                             from parallel_hnsw_tpu.pq import quantize_binned
 
+                            subs = jnp.asarray(chunk).reshape(-1, dsub)
                             c = quantize_binned(subs, cb, metric)
+                            c = c.reshape(len(chunk), nsub)
                         elif exact_quantize:
                             from parallel_hnsw_tpu.analysis import (
                                 blocked_topk_pairwise,
                             )
 
+                            subs = jnp.asarray(chunk).reshape(-1, dsub)
                             ids_c, _ = blocked_topk_pairwise(
                                 subs, cb, metric, 1, row_block=8192
                             )
-                            c = ids_c[:, 0]
+                            c = ids_c[:, 0].reshape(len(chunk), nsub)
                         else:
                             # graph-path quantize runs on the centroid
                             # graph's own device (it is not replicated)
-                            c = quantizer.quantize(jnp.asarray(chunk)).reshape(-1)
-                        c = c.reshape(len(chunk), nsub)
+                            c = quantizer.quantize(jnp.asarray(chunk))
+                            c = c.reshape(len(chunk), nsub)
                         chunks.append(np.asarray(c.astype(code_dtype)))
                 # codes stay as host arrays: the per-shard graph build (and
                 # the final place()) converts them under the shard's own

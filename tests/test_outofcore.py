@@ -278,3 +278,67 @@ def test_scan_only_build(tmp_path):
     assert back.layers_stacked == []
     i2, _ = back.search_exact(src.vectors[:16], k=3)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_sharded_per_subspace(tmp_path):
+    """Sharded per-subspace PQ (classic product quantization; the codebook
+    layout that cleared the 10M recall floor, BENCH_NOTES config4) works on
+    the mesh in BOTH residency modes: the quantizer is a SubspaceQuantizer
+    (no centroid graph), the [nsub, K, dsub] codebook flows through the
+    stacked PqSource, streamed out-of-core codes match the in-core ones,
+    search/search_exact answer correctly, and the nested serialization
+    round-trips the subspace quantizer."""
+    from parallel_hnsw_tpu.io import (
+        deserialize_sharded_quantized_hnsw,
+        serialize_sharded_quantized_hnsw,
+    )
+    from parallel_hnsw_tpu.pq import SubspaceQuantizer
+
+    mm, arr = _write_memmap(tmp_path, 230, 16, seed=21)
+    dense = random_unit_corpus(230, 16, seed=21)
+    mesh = default_mesh()
+    kw = dict(
+        number_of_centroids=32, dsub=4, metric=Metric.EUCLIDEAN, mesh=mesh,
+        pqp=PQP, seed=3, chunk_size=16, improve=False, per_subspace=True,
+    )
+    ooc_idx = ShardedQuantizedHnsw.new(full_source=mm, **kw)
+    inc_idx = ShardedQuantizedHnsw.new(full_source=dense, **kw)
+
+    for idx in (ooc_idx, inc_idx):
+        assert isinstance(idx.quantizer, SubspaceQuantizer)
+        assert idx.quantizer.codebooks.shape == (4, 32, 4)
+        assert idx.sharded.source_stacked.codebook.ndim == 3
+    assert ooc_idx.full_stacked is None
+    assert inc_idx.full_stacked is not None
+
+    # streamed per-shard quantization == in-core quantization, same books
+    np.testing.assert_array_equal(
+        np.asarray(ooc_idx.sharded.source_stacked.codes),
+        np.asarray(inc_idx.sharded.source_stacked.codes),
+    )
+
+    queries = jnp.asarray(arr[:40])
+    # oversample*k covers the corpus: both reranks must return exact truth
+    i_in, d_in = inc_idx.search_exact(queries, k=5, fast=False, oversample=64)
+    i_out, d_out = ooc_idx.search_exact(queries, k=5, fast=False, oversample=64)
+    np.testing.assert_array_equal(np.asarray(i_in), np.asarray(i_out))
+    np.testing.assert_allclose(np.asarray(d_in), np.asarray(d_out), atol=1e-5)
+    assert float((np.asarray(i_in)[:, 0] == np.arange(40)).mean()) == 1.0
+
+    # graph traversal path (code graphs over the 3-D codebook source)
+    ids, _ = ooc_idx.search(queries, k=5)
+    hits = float((np.asarray(ids)[:, 0] == np.arange(40)).mean())
+    assert hits >= 0.9, hits
+
+    # nested serialization round-trips the subspace quantizer
+    serialize_sharded_quantized_hnsw(ooc_idx, tmp_path / "sq_sub")
+    qmeta = json.loads(
+        (tmp_path / "sq_sub" / "quantizer" / "pq_build_parameters.json").read_text()
+    )
+    assert qmeta["quantizer_kind"] == "subspace"
+    back = deserialize_sharded_quantized_hnsw(
+        tmp_path / "sq_sub", mesh, full_source=mm
+    )
+    assert isinstance(back.quantizer, SubspaceQuantizer)
+    i2, _ = back.search_exact(queries, k=5, fast=False, oversample=64)
+    np.testing.assert_array_equal(np.asarray(i_out), np.asarray(i2))
