@@ -1,49 +1,72 @@
-"""Harvest chip-run evidence into BENCH_NOTES.md (VERDICT r4 #10).
+"""Harvest measured JSON result rows from run logs into BENCH_NOTES.md.
 
-Round 3 and round 4 both ended with measured results stranded in /tmp logs
-("see c4_10m_v4" dangling pointers).  This makes the discipline structural:
-every JSON result line and every ``# ``-prefixed phase-timing line in a run
-log is appended verbatim to BENCH_NOTES.md under a tagged section, so a chip
-session's results survive the session by running ONE command.
+Round-4's verdict found two consecutive rounds left measured chip results
+stranded in /tmp log files ("see c4_10m_v4" dangling pointers).  This makes
+the fix structural: every bench/study script in this repo prints its results
+as single-line JSON objects; this tool scans a log directory for those lines
+and REGENERATES the "Harvested raw JSON rows" appendix of BENCH_NOTES.md,
+tagged by source log, so committing the harvest is one command:
 
-Usage: python scripts/harvest_logs.py <section-title> <log> [<log> ...]
+    python scripts/harvest_logs.py [logdir=logs]
+    git add BENCH_NOTES.md && git commit
+
+Idempotent: the appendix is replaced wholesale on every run (curated
+analysis sections above it are never touched).  No jax import — safe to run
+on the 1-core host while a chip job holds the grant.
 """
 
+import json
+import os
 import sys
-from pathlib import Path
 
-NOTES = Path(__file__).resolve().parent.parent / "BENCH_NOTES.md"
-
-
-def harvest_lines(text: str):
-    """Result lines: JSON objects and '# '-prefixed phase timings."""
-    for line in text.splitlines():
-        s = line.strip()
-        if s.startswith("{") and s.endswith("}"):
-            yield s
-        elif s.startswith("# ") and not s.startswith("# WARNING"):
-            yield s
+MARKER = "## Harvested raw JSON rows (auto-generated, scripts/harvest_logs.py)"
 
 
-def main(title: str, *logs: str) -> None:
-    blocks = []
-    for log in logs:
-        p = Path(log)
-        if not p.exists():
-            print(f"missing: {log}", file=sys.stderr)
+def json_rows(path):
+    rows = []
+    with open(path, errors="replace") as fh:
+        for line in fh:
+            line = line.strip()
+            if not (line.startswith("{") and line.endswith("}")):
+                continue
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(obj, dict) and obj:
+                rows.append(line)
+    return rows
+
+
+def main(logdir="logs", notes="BENCH_NOTES.md"):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    logdir = os.path.join(repo, logdir)
+    notes = os.path.join(repo, notes)
+
+    sections = []
+    for name in sorted(os.listdir(logdir)):
+        if not name.endswith(".log"):
             continue
-        lines = list(harvest_lines(p.read_text(errors="replace")))
-        if lines:
-            blocks.append(f"From `{p}`:\n\n```\n" + "\n".join(lines) + "\n```")
-        else:
-            print(f"no result lines in {log}", file=sys.stderr)
-    if not blocks:
-        raise SystemExit("nothing harvested")
-    section = f"\n## {title} (harvested)\n\n" + "\n\n".join(blocks) + "\n"
-    with NOTES.open("a") as f:
-        f.write(section)
-    print(f"appended {sum(b.count(chr(10)) for b in blocks)} lines to {NOTES}")
+        rows = json_rows(os.path.join(logdir, name))
+        if rows:
+            body = "\n".join(rows)
+            sections.append(f"### {name}\n\n```json\n{body}\n```")
+
+    text = open(notes).read()
+    if MARKER in text:
+        text = text[: text.index(MARKER)].rstrip() + "\n"
+    appendix = (
+        f"\n{MARKER}\n\n"
+        "Every JSON result line found in the committed run logs, verbatim,\n"
+        "keyed by source log.  Curated analysis lives in the sections above;\n"
+        "this appendix exists so measured numbers are committed the moment\n"
+        "a chip session ends (round-4 verdict #10).\n\n" + "\n\n".join(sections) + "\n"
+    )
+    with open(notes, "w") as fh:
+        fh.write(text + appendix)
+    n = sum(s.count("\n{") + 1 for s in sections) if sections else 0
+    print(f"harvested {len(sections)} logs into {notes} ({MARKER!r})")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], *sys.argv[2:])
+    main(*sys.argv[1:])
